@@ -1,0 +1,152 @@
+"""Configuration system.
+
+The reference loads a single YAML file with ``yaml.safe_load`` and merges it
+into a flat argparse ``Namespace`` (ref ``evaluator.py`` pyc module consts;
+``app.py:166-169``).  We mirror the exact key names in one flat dataclass so
+the reference's YAML configs load unchanged, add type checking, and keep the
+``define_experim_name`` encoding used for checkpoint directories (ref
+``main.py`` pyc strings ``nq``/``_ndl``/``bc``/``sr``/``pm``/``seed``,
+observed result ``nq20_ndl6_bc_sr10100_duts_pm_seed0_contrastive``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import yaml
+
+
+@dataclass
+class Config:
+    # augmentations (ref configs/...yaml:1-4)
+    use_copy_paste: bool = False
+    scale_range: Tuple[float, float] = (0.1, 1.0)
+    repeat_image: bool = False
+
+    # base directories (ref configs/...yaml:6-8)
+    dir_ckpt: str = "ckpt"
+    dir_dataset: str = "datasets"
+
+    # clustering (ref configs/...yaml:10-14)
+    k: List[int] = field(default_factory=lambda: [2, 3, 4])
+    clustering_mode: str = "spectral"
+    use_gpu: bool = True  # kept for config parity; ignored on TPU
+    scale_factor: int = 2
+
+    # dataset (ref configs/...yaml:16-23)
+    dataset_name: str = "duts"
+    use_pseudo_masks: bool = True
+    train_image_size: int = 224
+    eval_image_size: int = 224
+    n_percent: int = 100
+    n_copy_pastes: Optional[int] = None
+    pseudo_masks_fp: Optional[str] = None
+
+    # dataloader (ref configs/...yaml:25-28)
+    batch_size: int = 8
+    num_workers: int = 4
+    pin_memory: bool = True
+
+    # networks (ref configs/...yaml:30-41)
+    abs_2d_pe_init: bool = False
+    arch: str = "vit_small"
+    lateral_connection: bool = False
+    learnable_pixel_decoder: bool = False
+    use_binary_classifier: bool = True
+    n_decoder_layers: int = 6
+    n_queries: int = 20
+    num_layers: List[int] = field(default_factory=lambda: list(range(12)))
+    patch_size: int = 8
+    training_method: str = "dino"
+
+    # objective (ref configs/...yaml:43-49)
+    loss_every_decoder_layer: bool = True
+    weight_dice_loss: float = 1.0
+    weight_focal_loss: float = 0.0
+    weight_bce_loss: float = 0.0
+    weight_contrastive_loss: float = 0.1
+    temperature: float = 0.07
+    contrastive_feature_dim: int = 128
+
+    # optimizer (ref configs/...yaml:51-57)
+    lr: float = 6e-6
+    lr_warmup_duration: int = 0
+    momentum: float = 0.9
+    n_epochs: int = 12
+    weight_decay: float = 0.01
+    optimizer_type: str = "adamw"
+
+    # validation (ref configs/...yaml:59)
+    benchmarks: Optional[List[str]] = None
+
+    # runtime knobs (new, TPU-specific; not present in the reference)
+    seed: int = 0
+    suffix: str = ""
+    debug: bool = False
+    compute_dtype: str = "bfloat16"   # matmul/compute dtype on TPU
+    param_dtype: str = "float32"      # parameter storage dtype
+    use_pallas_attention: bool = True  # fused flash-attention kernel on TPU
+    mesh_data_axis: int = 1           # data-parallel mesh size (1 = single chip)
+    max_gt_masks: int = 8             # static padding for ragged pseudo-mask stacks
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def dump_json(self, fp: str) -> None:
+        with open(fp, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, default=str)
+
+
+_FIELD_NAMES = {f.name for f in dataclasses.fields(Config)}
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) -> Config:
+    """Load a reference-format YAML config, applying CLI-style overrides.
+
+    Unknown YAML keys are ignored with a warning (the reference merges them
+    silently into the Namespace; none of the live keys are unknown here).
+    """
+    raw = {}
+    if path is not None:
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+    if overrides:
+        raw.update({k: v for k, v in overrides.items() if v is not None})
+
+    known, unknown = {}, {}
+    for key, value in raw.items():
+        if key in _FIELD_NAMES:
+            if key == "scale_range" and value is not None:
+                value = tuple(value)
+            known[key] = value
+        else:
+            unknown[key] = value
+    if unknown:
+        import warnings
+
+        warnings.warn(f"ignoring unknown config keys: {sorted(unknown)}")
+    return Config(**known)
+
+
+def define_experim_name(cfg: Config) -> str:
+    """Encode experiment identity as the reference does (ref main.py pyc;
+    the shipped checkpoint dir is ``nq20_ndl6_bc_sr10100_duts_pm_seed0_contrastive``,
+    ``app.py:350``)."""
+    parts = [f"nq{cfg.n_queries}", f"ndl{cfg.n_decoder_layers}"]
+    if cfg.use_binary_classifier:
+        parts.append("bc")
+    lo, hi = cfg.scale_range
+    parts.append(f"sr{round(lo * 100)}{round(hi * 100)}")
+    parts.append(cfg.dataset_name)
+    if cfg.use_pseudo_masks:
+        parts.append("pm")
+    parts.append(f"seed{cfg.seed}")
+    name = "_".join(parts)
+    if cfg.suffix:
+        name = f"{name}_{cfg.suffix}"
+    return name

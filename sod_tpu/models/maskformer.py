@@ -1,0 +1,282 @@
+"""MaskFormer-style saliency model, TPU-native.
+
+Functional redesign of the reference model (ref
+``networks/maskformer/maskformer.py`` + ``transformer_decoder.py``):
+
+* ViT-S encoder (or ResNet-50 + 1x1 adapter, ref ``maskformer.py:36-41``);
+* a DETR-style post-norm transformer decoder of ``n_decoder_layers`` layers
+  run as one ``lax.scan`` over stacked layer params, collecting the
+  per-layer (final-LayerNormed) query stacks that the reference's
+  ``return_intermediate`` produces (ref ``transformer_decoder.py:104-150``);
+* 20 learnable queries seeded as ``tgt = 0`` with ``query_pos`` = the
+  embedding table (ref ``maskformer.py:118-142``);
+* pixel decoder = bilinear x2 upsample of the last-layer patch tokens (ref
+  ``maskformer.py:144-162``, live config ``learnable_pixel_decoder: false``);
+* mask head = sigmoid(einsum(queries, upsampled features)) over every
+  decoder layer (ref ``maskformer.py:219-225``) — a single batched MXU
+  contraction;
+* objectness head = 3-layer relu MLP -> sigmoid per layer (ref
+  ``maskformer.py:55-58,227-239``);
+* contrastive feature = mean over last-layer queries (this fork's addition,
+  ref ``maskformer.py:197-203``).
+
+Layouts: images NHWC; queries [B, L, Q, D]; mask_pred [B, L, Q, h, w].
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sod_tpu.models.vit import (
+    ViTConfig,
+    make_input_divisible,
+    vit_apply,
+    vit_init,
+    vit_small,
+)
+from sod_tpu.ops.attention import mha_init, multi_head_attention
+from sod_tpu.ops.layers import (
+    layer_norm,
+    layer_norm_init,
+    linear,
+    linear_init,
+    mlp_apply,
+    mlp_init,
+)
+from sod_tpu.ops.resize import interpolate_bilinear
+
+
+@dataclass(frozen=True)
+class MaskFormerConfig:
+    n_queries: int = 20
+    n_decoder_layers: int = 6
+    arch: str = "vit_small"               # "vit_small" | "resnet50"
+    patch_size: int = 8
+    training_method: str = "dino"
+    scale_factor: int = 2
+    use_binary_classifier: bool = True
+    learnable_pixel_decoder: bool = False  # False => bilinear (live config)
+    lateral_connection: bool = False
+    return_intermediate: bool = True       # loss_every_decoder_layer
+    decoder_ln_eps: float = 1e-5           # torch nn.LayerNorm default
+    vit: ViTConfig = field(default_factory=vit_small)
+
+    @property
+    def embed_dim(self) -> int:
+        return 384 if self.arch != "vit_small" else self.vit.embed_dim
+
+    @property
+    def n_heads(self) -> int:
+        return 6 if self.arch != "vit_small" else self.vit.n_heads
+
+    @property
+    def mlp_ratio(self) -> int:
+        return 4
+
+
+def config_from(cfg) -> "MaskFormerConfig":
+    """Build a MaskFormerConfig from the flat experiment Config."""
+    return MaskFormerConfig(
+        n_queries=cfg.n_queries,
+        n_decoder_layers=cfg.n_decoder_layers,
+        arch=cfg.arch,
+        patch_size=cfg.patch_size,
+        training_method=cfg.training_method,
+        scale_factor=cfg.scale_factor,
+        use_binary_classifier=cfg.use_binary_classifier,
+        learnable_pixel_decoder=cfg.learnable_pixel_decoder,
+        lateral_connection=cfg.lateral_connection,
+        return_intermediate=cfg.loss_every_decoder_layer,
+        vit=vit_small(patch_size=cfg.patch_size,
+                      use_flash=cfg.use_pallas_attention),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decoder layer (DETR post-norm, ref transformer_decoder.py:229-297)
+# ---------------------------------------------------------------------------
+
+def _decoder_layer_init(rng: jax.Array, d: int, ffn_dim: int, dtype=jnp.float32) -> dict:
+    k_sa, k_ca, k_l1, k_l2 = jax.random.split(rng, 4)
+    return {
+        "self_attn": mha_init(k_sa, d, dtype),
+        "cross_attn": mha_init(k_ca, d, dtype),
+        "linear1": linear_init(k_l1, d, ffn_dim, init="torch_default", dtype=dtype),
+        "linear2": linear_init(k_l2, ffn_dim, d, init="torch_default", dtype=dtype),
+        "norm1": layer_norm_init(d, dtype),
+        "norm2": layer_norm_init(d, dtype),
+        "norm3": layer_norm_init(d, dtype),
+    }
+
+
+def _decoder_layer_apply(lp: dict, tgt: jax.Array, memory: jax.Array,
+                         query_pos: jax.Array, n_heads: int,
+                         eps: float) -> jax.Array:
+    """Post-norm: self-attn -> cross-attn -> FFN (ref
+    ``transformer_decoder.py:260-297``; dropout is 0 in the live config)."""
+    qk = tgt + query_pos
+    tgt = tgt + multi_head_attention(lp["self_attn"], qk, qk, tgt, n_heads)
+    tgt = layer_norm(lp["norm1"], tgt, eps)
+
+    q = tgt + query_pos
+    tgt = tgt + multi_head_attention(lp["cross_attn"], q, memory, memory, n_heads)
+    tgt = layer_norm(lp["norm2"], tgt, eps)
+
+    h = jax.nn.relu(linear(lp["linear1"], tgt))
+    tgt = tgt + linear(lp["linear2"], h)
+    tgt = layer_norm(lp["norm3"], tgt, eps)
+    return tgt
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+def maskformer_init(rng: jax.Array, cfg: MaskFormerConfig,
+                    dtype=jnp.float32) -> dict:
+    d = cfg.embed_dim
+    ffn_dim = d * cfg.mlp_ratio
+    k_enc, k_dec, k_q, k_ffn, k_cls, k_adapter = jax.random.split(rng, 6)
+
+    if cfg.arch == "vit_small":
+        encoder = vit_init(k_enc, cfg.vit, dtype)
+    else:
+        from sod_tpu.models.resnet import resnet50_init
+
+        encoder = resnet50_init(k_enc, dtype=dtype)
+
+    layer_keys = jax.random.split(k_dec, cfg.n_decoder_layers)
+    layers = [_decoder_layer_init(k, d, ffn_dim, dtype) for k in layer_keys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+
+    params = {
+        "encoder": encoder,
+        "decoder": {"layers": stacked, "norm": layer_norm_init(d, dtype)},
+        # nn.Embedding default init: N(0, 1) (ref maskformer.py:53)
+        "query_embed": jax.random.normal(k_q, (cfg.n_queries, d), dtype),
+    }
+    if cfg.use_binary_classifier:
+        # MLP(d, d, 1, num_layers=3) (ref maskformer.py:58)
+        params["ffn"] = mlp_init(k_ffn, [d, d, d, 1], init="torch_default",
+                                 dtype=dtype)
+    else:
+        params["ffn"] = mlp_init(k_ffn, [d, d, d, d], init="torch_default",
+                                 dtype=dtype)
+        params["linear_classifier"] = linear_init(k_cls, d, 2,
+                                                  init="torch_default", dtype=dtype)
+        params["norm"] = layer_norm_init(d, dtype)
+    if cfg.arch != "vit_small":
+        # 1x1 conv channel adapter == a linear on the channel axis
+        from sod_tpu.models.resnet import RESNET50_OUT_CHANNELS
+
+        params["linear_layer"] = linear_init(k_adapter, RESNET50_OUT_CHANNELS, d,
+                                             init="torch_default", dtype=dtype)
+    return params
+
+
+def forward_encoder(params: dict, x: jax.Array, cfg: MaskFormerConfig,
+                    all_layers: bool = False):
+    """Return patch tokens.
+
+    vit: [B, N, D] last-layer patch tokens (CLS dropped), or [L, B, N, D]
+    when ``all_layers`` (ref ``maskformer.py:99-113``).
+    resnet50: [B, h*w, D] adapted res5 features + their (h, w).
+    """
+    if cfg.arch == "vit_small":
+        if all_layers:
+            tokens = vit_apply(params["encoder"], x, cfg.vit, all_layers=True)
+            return tokens[:, :, 1:, :]            # [L, B, N, D]
+        tokens = vit_apply(params["encoder"], x, cfg.vit, all_layers=False)
+        return tokens[:, 1:, :]                    # [B, N, D]
+    else:
+        from sod_tpu.models.resnet import resnet50_apply
+
+        feats = resnet50_apply(params["encoder"], x)["res5"]  # [B, h, w, C]
+        feats = linear(params["linear_layer"], feats)          # [B, h, w, D]
+        b, h, w, d = feats.shape
+        return feats.reshape(b, h * w, d), (h, w)
+
+
+def forward_transformer_decoder(params: dict, memory: jax.Array,
+                                cfg: MaskFormerConfig) -> jax.Array:
+    """Queries through the decoder.
+
+    :param memory: [B, N, D] patch tokens.
+    :return: [B, L, Q, D] per-layer query stacks (return_intermediate), each
+        passed through the decoder's final LayerNorm — matching the
+        reference's intermediate stacking + last-entry replacement
+        (``transformer_decoder.py:138-148``).
+    """
+    b = memory.shape[0]
+    d = memory.shape[-1]
+    query_pos = jnp.broadcast_to(params["query_embed"].astype(memory.dtype),
+                                 (b, cfg.n_queries, d))
+    tgt0 = jnp.zeros_like(query_pos)
+
+    dec = params["decoder"]
+    eps = cfg.decoder_ln_eps
+
+    def body(tgt, lp):
+        tgt = _decoder_layer_apply(lp, tgt, memory, query_pos, cfg.n_heads, eps)
+        return tgt, layer_norm(dec["norm"], tgt, eps)
+
+    _, per_layer = jax.lax.scan(body, tgt0, dec["layers"])   # [L, B, Q, D]
+    return per_layer.transpose(1, 0, 2, 3)                    # [B, L, Q, D]
+
+
+def forward_pixel_decoder(patch_tokens: jax.Array, grid_hw, cfg: MaskFormerConfig) -> jax.Array:
+    """Bilinear x``scale_factor`` upsample of patch tokens (ref
+    ``maskformer.py:144-162``).  [B, N, D] -> [B, h*s, w*s, D]."""
+    b, n, d = patch_tokens.shape
+    h, w = grid_hw
+    feats = patch_tokens.reshape(b, h, w, d).transpose(0, 3, 1, 2)  # [B,D,h,w]
+    feats = interpolate_bilinear(feats, h * cfg.scale_factor, w * cfg.scale_factor)
+    return feats.transpose(0, 2, 3, 1)                              # [B,H,W,D]
+
+
+def maskformer_apply(params: dict, x: jax.Array, cfg: MaskFormerConfig,
+                     encoder_only: bool = False) -> Dict[str, jax.Array]:
+    """Full forward (ref ``maskformer.py:164-251``).
+
+    :param x: [B, H, W, 3] normalized images.
+    :return: dict with
+        ``mask_pred``  [B, L, Q, h, w]  (sigmoid),
+        ``objectness`` [B, L, Q, 1]     (sigmoid; binary-classifier mode),
+        ``features``   [B, D]           (mean last-layer queries).
+        With ``encoder_only``: ``patch_tokens`` [B, gh, gw, D].
+    """
+    if cfg.arch == "vit_small":
+        padded = make_input_divisible(x, cfg.vit.patch_size)
+        gh, gw = padded.shape[1] // cfg.vit.patch_size, padded.shape[2] // cfg.vit.patch_size
+        memory = forward_encoder(params, x, cfg)              # [B, N, D]
+    else:
+        memory, (gh, gw) = forward_encoder(params, x, cfg)
+
+    if encoder_only:
+        b, n, d = memory.shape
+        return {"patch_tokens": memory.reshape(b, gh, gw, d)}
+
+    queries = forward_transformer_decoder(params, memory, cfg)  # [B, L, Q, D]
+
+    # contrastive features: mean over last-layer queries (ref :197-203)
+    features = queries[:, -1].mean(axis=1)                      # [B, D]
+
+    upsampled = forward_pixel_decoder(memory, (gh, gw), cfg)    # [B, H, W, D]
+
+    if cfg.use_binary_classifier:
+        mask_logits = jnp.einsum("blqd,bhwd->blqhw", queries, upsampled,
+                                 preferred_element_type=jnp.float32)
+        mask_pred = jax.nn.sigmoid(mask_logits)
+        objectness = jax.nn.sigmoid(
+            mlp_apply(params["ffn"], queries.astype(jnp.float32),
+                      activation="relu"))                       # [B, L, Q, 1]
+        return {"mask_pred": mask_pred, "objectness": objectness,
+                "features": features}
+    else:
+        proj = mlp_apply(params["ffn"], queries, activation="relu")
+        mask_logits = jnp.einsum("blqd,bhwd->blqhw", proj, upsampled,
+                                 preferred_element_type=jnp.float32)
+        return {"mask_pred": jax.nn.sigmoid(mask_logits), "features": features}

@@ -1,0 +1,247 @@
+"""DINO-variant Vision Transformer, TPU-native.
+
+Functional re-design of the reference ViT (ref
+``networks/vision_transformer.py:191-532``):
+
+* patchify is a reshape + one big matmul (MXU) instead of a strided conv;
+* the 12 blocks are a single ``lax.scan`` over stacked parameters — one
+  compiled block body, minimal compile time, weights stay resident in HBM
+  and stream through VMEM;
+* per-layer LayerNormed token maps (the reference returns all 12,
+  ``vision_transformer.py:293-304``) come out of the scan as one stacked
+  [L, B, N, D] array;
+* attention can route through the fused Pallas flash kernel
+  (``sod_tpu.ops.flash_attention``) on TPU;
+* pos-embed bicubic interpolation matches torch bit-for-bit via
+  ``sod_tpu.ops.resize`` (ref ``vision_transformer.py:377-401``);
+* inputs are padded to a patch-size multiple exactly like
+  ``make_input_divisible`` (ref ``vision_transformer.py:260-267``) — with
+  static shapes this is resolved at trace time.
+
+Layouts: images are NHWC ([B, H, W, 3]); tokens are [B, N, D] with the CLS
+token at index 0.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sod_tpu.ops.attention import self_attention_qkv
+from sod_tpu.ops.layers import (
+    layer_norm,
+    layer_norm_init,
+    linear,
+    linear_init,
+    mlp_apply,
+    mlp_init,
+    trunc_normal,
+)
+from sod_tpu.ops.resize import interpolate_bicubic
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 8
+    embed_dim: int = 384
+    depth: int = 12
+    n_heads: int = 6
+    mlp_ratio: int = 4
+    qkv_bias: bool = True
+    ln_eps: float = 1e-6          # ref vision_transformer.py:508,522
+    pos_grid: int = 28            # pretrained pos-embed grid (224/8); DINO
+                                  # checkpoints always carry a 224-px grid
+                                  # (ref vision_transformer.py:212 comment)
+    use_flash: bool = False       # route self-attention through Pallas
+
+    @property
+    def n_pos_tokens(self) -> int:
+        return self.pos_grid * self.pos_grid + 1
+
+
+def vit_small(patch_size: int = 8, use_flash: bool = False) -> ViTConfig:
+    """deit_small (ref ``vision_transformer.py:513-525``)."""
+    return ViTConfig(patch_size=patch_size, embed_dim=384, n_heads=6,
+                     pos_grid=224 // patch_size, use_flash=use_flash)
+
+
+def vit_tiny(patch_size: int = 16, use_flash: bool = False) -> ViTConfig:
+    return ViTConfig(patch_size=patch_size, embed_dim=192, n_heads=3,
+                     pos_grid=224 // patch_size, use_flash=use_flash)
+
+
+def vit_base(patch_size: int = 16, use_flash: bool = False) -> ViTConfig:
+    return ViTConfig(patch_size=patch_size, embed_dim=768, n_heads=12,
+                     pos_grid=224 // patch_size, use_flash=use_flash)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _block_init(rng: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> dict:
+    d = cfg.embed_dim
+    hidden = int(d * cfg.mlp_ratio)
+    k_qkv, k_proj, k_mlp = jax.random.split(rng, 3)
+    return {
+        "norm1": layer_norm_init(d, dtype),
+        "attn": {
+            "qkv": linear_init(k_qkv, d, 3 * d, bias=cfg.qkv_bias,
+                               init="trunc_normal", dtype=dtype),
+            "proj": linear_init(k_proj, d, d, init="trunc_normal", dtype=dtype),
+        },
+        "norm2": layer_norm_init(d, dtype),
+        "mlp": mlp_init(k_mlp, [d, hidden, d], init="trunc_normal", dtype=dtype),
+    }
+
+
+def vit_init(rng: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> dict:
+    d = cfg.embed_dim
+    p = cfg.patch_size
+    k_patch, k_pos, k_cls, k_blocks = jax.random.split(rng, 4)
+    block_keys = jax.random.split(k_blocks, cfg.depth)
+    blocks = [_block_init(k, cfg, dtype) for k in block_keys]
+    # stack per-layer params along a leading axis for lax.scan
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+    return {
+        # patchify weight rows are flattened (py, px, c) — the converter
+        # permutes torch's (D, C, py, px) conv weight to match.
+        "patch_embed": linear_init(k_patch, p * p * 3, d,
+                                   init="torch_default", dtype=dtype),
+        "cls_token": jnp.zeros((1, 1, d), dtype),
+        "pos_embed": trunc_normal(k_pos, (1, cfg.n_pos_tokens, d), std=0.02,
+                                  dtype=dtype),
+        "blocks": stacked,
+        "norm": layer_norm_init(d, dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def make_input_divisible(x: jax.Array, patch_size: int) -> jax.Array:
+    """Zero-pad H/W (bottom/right) to a multiple of the patch size (ref
+    ``vision_transformer.py:260-267``).  x: [B, H, W, C]."""
+    h, w = x.shape[1], x.shape[2]
+    pad_h = (patch_size - h % patch_size) % patch_size
+    pad_w = (patch_size - w % patch_size) % patch_size
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    return x
+
+
+def patchify(params: dict, x: jax.Array, patch_size: int) -> jax.Array:
+    """[B, H, W, C] -> [B, (H/p)*(W/p), D] via reshape + matmul."""
+    b, h, w, c = x.shape
+    p = patch_size
+    gh, gw = h // p, w // p
+    x = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, gh * gw, p * p * c)
+    return linear(params, x)
+
+
+def interpolate_pos_encoding(pos_embed: jax.Array, grid_hw: Tuple[int, int],
+                             pos_grid: int) -> jax.Array:
+    """Bicubic-resize the (N0+1)-token pos-embed to a (gh*gw+1)-token one
+    (ref ``vision_transformer.py:377-401``)."""
+    gh, gw = grid_hw
+    if gh == pos_grid and gw == pos_grid:
+        return pos_embed
+    cls_pe, patch_pe = pos_embed[:, :1], pos_embed[:, 1:]
+    d = pos_embed.shape[-1]
+    patch_pe = patch_pe.reshape(1, pos_grid, pos_grid, d).transpose(0, 3, 1, 2)
+    patch_pe = interpolate_bicubic(patch_pe, gh, gw)
+    patch_pe = patch_pe.transpose(0, 2, 3, 1).reshape(1, gh * gw, d)
+    return jnp.concatenate([cls_pe, patch_pe], axis=1)
+
+
+def prepare_tokens(params: dict, x: jax.Array, cfg: ViTConfig) -> Tuple[jax.Array, Tuple[int, int]]:
+    """Patchify + CLS + interpolated pos-embed (ref ``prepare_tokens``,
+    ``vision_transformer.py:269-281``).  Returns (tokens [B, 1+N, D], grid)."""
+    x = make_input_divisible(x, cfg.patch_size)
+    gh, gw = x.shape[1] // cfg.patch_size, x.shape[2] // cfg.patch_size
+    tokens = patchify(params["patch_embed"], x, cfg.patch_size)
+    b = tokens.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"].astype(tokens.dtype),
+                           (b, 1, tokens.shape[-1]))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    pe = interpolate_pos_encoding(params["pos_embed"], (gh, gw), cfg.pos_grid)
+    tokens = tokens + pe.astype(tokens.dtype)
+    return tokens, (gh, gw)
+
+
+def _block_apply(bp: dict, x: jax.Array, cfg: ViTConfig,
+                 return_attn: bool = False):
+    """One transformer block (ref ``vision_transformer.py:136-170``)."""
+    if return_attn:
+        _, attn = self_attention_qkv(bp["attn"],
+                                     layer_norm(bp["norm1"], x, cfg.ln_eps),
+                                     cfg.n_heads, return_attn=True)
+        return attn
+    y = self_attention_qkv(bp["attn"], layer_norm(bp["norm1"], x, cfg.ln_eps),
+                           cfg.n_heads, use_flash=cfg.use_flash)
+    x = x + y
+    x = x + mlp_apply(bp["mlp"], layer_norm(bp["norm2"], x, cfg.ln_eps),
+                      activation="gelu")
+    return x
+
+
+def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
+              all_layers: bool = True) -> jax.Array:
+    """Run the encoder.
+
+    :param x: [B, H, W, 3] images (already normalized).
+    :param all_layers: if True return the final-LayerNormed token maps of
+        every block stacked as [L, B, 1+N, D] (the reference forward's
+        ``{"layer1".."layer12"}`` dict, ``vision_transformer.py:293-304``);
+        if False return just the last layer's normed tokens [B, 1+N, D].
+    """
+    tokens, _ = prepare_tokens(params, x, cfg)
+
+    def body(carry, bp):
+        out = _block_apply(bp, carry, cfg)
+        normed = layer_norm(params["norm"], out, cfg.ln_eps) if all_layers else 0.0
+        return out, normed
+
+    final, per_layer = jax.lax.scan(body, tokens, params["blocks"])
+    if all_layers:
+        return per_layer                       # [L, B, 1+N, D]
+    return layer_norm(params["norm"], final, cfg.ln_eps)
+
+
+def vit_last_selfattention(params: dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """Attention probabilities of the final block (ref
+    ``get_last_selfattention``, ``vision_transformer.py:307-314``).
+    Returns [B, H, 1+N, 1+N]."""
+    tokens, _ = prepare_tokens(params, x, cfg)
+
+    depth = cfg.depth
+    first = jax.tree.map(lambda a: a[: depth - 1], params["blocks"])
+    last = jax.tree.map(lambda a: a[depth - 1], params["blocks"])
+
+    def body(carry, bp):
+        return _block_apply(bp, carry, cfg), None
+
+    tokens, _ = jax.lax.scan(body, tokens, first)
+    return _block_apply(last, tokens, cfg, return_attn=True)
+
+
+def vit_get_tokens(params: dict, x: jax.Array, cfg: ViTConfig,
+                   layers: Optional[list] = None, patch_tokens: bool = False,
+                   norm: bool = True) -> jax.Array:
+    """Intermediate tokens stacked over layers (ref ``get_tokens``,
+    ``vision_transformer.py:316-357``).  Returns [B, L', 1+N, D] (or CLS only
+    [B, L', D] when ``patch_tokens`` is False, matching the reference)."""
+    stacked = vit_apply(params, x, cfg, all_layers=True)  # [L, B, 1+N, D]
+    if not norm:
+        raise NotImplementedError("un-normed intermediate tokens not kept by scan")
+    if layers is not None:
+        stacked = stacked[jnp.asarray(layers)]
+    stacked = stacked.transpose(1, 0, 2, 3)               # [B, L', 1+N, D]
+    if not patch_tokens:
+        return stacked[:, :, 0, :]
+    return stacked
