@@ -1,0 +1,168 @@
+"""Benchmark: batched saliency inference throughput on one chip.
+
+Measures images/sec for the flagship SelfMask-nq20 forward (ViT-S/8 encoder,
+785 tokens, 6-layer 20-query decoder, einsum mask head) at 224px in bf16
+with the Pallas flash-attention kernel — the BASELINE.json "batched DUTS-TE
+evaluation" configuration.  The baseline is PyTorch-CPU images/sec of an
+equivalent torch model (the reference targets an unspecified GPU and
+publishes no throughput; BASELINE.md sets the north star at >= 5x
+torch-CPU per chip).  ``vs_baseline`` = tpu_ips / (5 * torch_cpu_ips), so
+1.0 == north-star parity.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Note: through the axon tunnel ``block_until_ready`` does not actually wait,
+so timing fetches a scalar reduction to host to force completion.
+"""
+import json
+import os
+import sys
+import time
+
+BATCH = 32
+IMG = 224
+ITERS = 20
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".bench_torch_baseline.json")
+
+
+def measure_tpu_ips() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from sod_tpu.config import Config
+    from sod_tpu.models.maskformer import config_from, maskformer_apply, maskformer_init
+
+    cfg = Config()  # nq20 / ndl6 / ViT-S/8 / flash attention
+    mcfg = config_from(cfg)
+    params = maskformer_init(jax.random.key(0), mcfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                          if x.dtype == jnp.float32 else x, params)
+
+    @jax.jit
+    def forward_chain(params, x):
+        def body(carry, _):
+            out = maskformer_apply(params, carry, mcfg)
+            # select argmax-objectness query mask (inference semantics,
+            # ref app.py:267-277) and feed a same-shaped tensor back to
+            # serialize iterations
+            obj = out["objectness"][:, -1, :, 0]
+            best = jnp.argmax(obj, axis=-1)
+            sel = jnp.take_along_axis(
+                out["mask_pred"][:, -1], best[:, None, None, None], axis=1)
+            m = jnp.mean(sel) * 1e-6
+            return carry + m.astype(carry.dtype), jnp.sum(sel)
+        final, sums = jax.lax.scan(body, x, None, length=ITERS)
+        return jnp.sum(final) + jnp.sum(sums)
+
+    x = jnp.zeros((BATCH, IMG, IMG, 3), jnp.bfloat16)
+    float(forward_chain(params, x))          # compile + warmup
+    t = time.perf_counter()
+    float(forward_chain(params, x))          # scalar fetch forces sync
+    dt = time.perf_counter() - t
+    return BATCH * ITERS / dt
+
+
+def measure_torch_cpu_ips() -> float:
+    """Equivalent-architecture torch-CPU forward (the reference's runtime is
+    torch; built from torch.nn primitives, not copied code)."""
+    if os.path.exists(_CACHE):
+        try:
+            with open(_CACHE) as f:
+                return float(json.load(f)["torch_cpu_ips"])
+        except Exception:
+            pass
+    import torch
+    import torch.nn as nn
+
+    D, HEADS, DEPTH, Q, L = 384, 6, 12, 20, 6
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.n1 = nn.LayerNorm(D, eps=1e-6)
+            self.qkv = nn.Linear(D, 3 * D)
+            self.proj = nn.Linear(D, D)
+            self.n2 = nn.LayerNorm(D, eps=1e-6)
+            self.mlp = nn.Sequential(nn.Linear(D, 4 * D), nn.GELU(),
+                                     nn.Linear(4 * D, D))
+
+        def forward(self, x):
+            b, n, _ = x.shape
+            h = self.n1(x)
+            qkv = self.qkv(h).reshape(b, n, 3, HEADS, D // HEADS)
+            q, k, v = qkv.permute(2, 0, 3, 1, 4)
+            a = (q @ k.transpose(-2, -1)) * (D // HEADS) ** -0.5
+            a = a.softmax(-1)
+            h = (a @ v).transpose(1, 2).reshape(b, n, D)
+            x = x + self.proj(h)
+            return x + self.mlp(self.n2(x))
+
+    class Model(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.patch = nn.Conv2d(3, D, 8, 8)
+            self.pos = nn.Parameter(torch.zeros(1, 785, D))
+            self.cls = nn.Parameter(torch.zeros(1, 1, D))
+            self.blocks = nn.ModuleList(Block() for _ in range(DEPTH))
+            self.norm = nn.LayerNorm(D, eps=1e-6)
+            self.dec = nn.TransformerDecoder(
+                nn.TransformerDecoderLayer(D, HEADS, 4 * D, 0.0, "relu"), L)
+            self.queries = nn.Parameter(torch.zeros(Q, D))
+            self.ffn = nn.Sequential(nn.Linear(D, D), nn.ReLU(),
+                                     nn.Linear(D, D), nn.ReLU(),
+                                     nn.Linear(D, 1))
+
+        def forward(self, x):
+            b = x.shape[0]
+            t = self.patch(x).flatten(2).transpose(1, 2)
+            t = torch.cat([self.cls.expand(b, -1, -1), t], 1) + self.pos
+            for blk in self.blocks:
+                t = blk(t)
+            t = self.norm(t)[:, 1:]
+            mem = t.transpose(0, 1)
+            qr = self.dec(self.queries[:, None].expand(-1, b, -1), mem)
+            qr = qr.transpose(0, 1)
+            up = torch.nn.functional.interpolate(
+                t.transpose(1, 2).reshape(b, D, 28, 28), scale_factor=2,
+                mode="bilinear")
+            masks = torch.sigmoid(torch.einsum("bqd,bdhw->bqhw", qr, up))
+            obj = torch.sigmoid(self.ffn(qr))
+            return masks, obj
+
+    model = Model().eval()
+    x = torch.zeros(4, 3, IMG, IMG)
+    with torch.no_grad():
+        model(x)                       # warmup
+        t = time.perf_counter()
+        n_iters = 3
+        for _ in range(n_iters):
+            model(x)
+        dt = time.perf_counter() - t
+    ips = 4 * n_iters / dt
+    try:
+        with open(_CACHE, "w") as f:
+            json.dump({"torch_cpu_ips": ips}, f)
+    except Exception:
+        pass
+    return ips
+
+
+def main():
+    tpu_ips = measure_tpu_ips()
+    try:
+        cpu_ips = measure_torch_cpu_ips()
+    except Exception as e:  # torch missing etc.
+        print(f"torch baseline failed: {e}", file=sys.stderr)
+        cpu_ips = float("nan")
+    vs = tpu_ips / (5.0 * cpu_ips) if cpu_ips == cpu_ips else None
+    print(json.dumps({
+        "metric": "saliency_inference_images_per_sec_per_chip",
+        "value": round(tpu_ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

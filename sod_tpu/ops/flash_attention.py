@@ -1,0 +1,157 @@
+"""Fused attention kernel for the ViT encoder (Pallas/TPU).
+
+Replaces the reference's materialised ``softmax(QK^T)V`` (ref
+``networks/vision_transformer.py:110-133``) with a Pallas kernel that keeps
+the [N, N] score matrix in VMEM — for ViT-S/8 at 224px (N = 785 tokens,
+64-dim heads) the scores never touch HBM, saving ~2x B x H x N^2 x 4B of
+HBM traffic per block vs the XLA fallback.
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+
+* grid = (batch*heads, query blocks); each program computes one 128-row
+  query block against the full key/value slab for its (batch, head) — at
+  ViT sequence lengths the K/V slab (<= ~230 KB fp32) fits VMEM easily, so
+  no online-softmax streaming is needed; scores stay in registers/VMEM.
+* sequence is padded to a multiple of the 128-row block; padded KEYS are
+  masked to -inf before the softmax (padded queries produce garbage rows
+  that the wrapper slices off).
+* both matmuls request fp32 accumulation (``preferred_element_type``).
+* backward is a custom VJP that recomputes the probabilities with XLA
+  einsums (flash-style rematerialisation: saves memory, costs one extra
+  QK^T) — exact standard softmax-attention gradients.
+
+The public entry ``flash_attention(q, k, v, scale)`` takes [B, H, N, d] and
+transparently falls back to the XLA path on non-TPU backends.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is unavailable on CPU test machines
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+_BLOCK_Q = 256  # best measured on v5e for ViT-S shapes (see bench notes)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_real: int):
+    q = q_ref[0]                                   # [Bq, d]
+    k = k_ref[0]                                   # [Nk, d]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # [Bq, Nk]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_real, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
+                   scale: float, interpret: bool = False) -> jax.Array:
+    b, h, n, d = q.shape
+    n_pad = _ceil_to(n, _BLOCK_Q)
+    bh = b * h
+
+    def prep(x):
+        x = x.reshape(bh, n, d)
+        if n_pad != n:
+            x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+        return x
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    grid = (bh, n_pad // _BLOCK_Q)
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, n_real=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _BLOCK_Q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BLOCK_Q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * n_pad * n_pad * d,
+            bytes_accessed=3 * bh * n_pad * d * q.dtype.itemsize
+            + bh * n_pad * d * q.dtype.itemsize,
+            transcendentals=bh * n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :n].reshape(b, h, n, d)
+
+
+def _xla_attention(q, k, v, scale):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    scale: float) -> jax.Array:
+    """softmax(q k^T * scale) v over [B, H, N, d]."""
+    return _dispatch(q, k, v, scale)
+
+
+def _dispatch(q, k, v, scale):
+    if _use_pallas():
+        return _flash_forward(q, k, v, scale)
+    return _xla_attention(q, k, v, scale)
+
+
+@functools.lru_cache(maxsize=1)
+def _use_pallas() -> bool:
+    if not _HAS_PLTPU:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _fwd(q, k, v, scale):
+    out = _dispatch(q, k, v, scale)
+    return out, (q, k, v)
+
+
+def _bwd(scale, res, g):
+    q, k, v = res
+    # recompute probabilities (flash-style remat)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    gf = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, v.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention.defvjp(_fwd, _bwd)

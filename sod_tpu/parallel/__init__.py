@@ -1,0 +1,6 @@
+from sod_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)

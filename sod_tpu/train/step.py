@@ -1,0 +1,87 @@
+"""jit-able train / eval step factories.
+
+One ``train_step`` = model forward + criterion + grad + clip + AdamW update
+(ref ``trainer.py`` pyc 60-68 + 70-131) as a single XLA computation.  Under
+a data-parallel mesh the batch arrives sharded on its leading axis and the
+gradient all-reduce is inserted by XLA (``sod_tpu.parallel``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sod_tpu.config import Config
+from sod_tpu.losses.criterion import criterion_forward
+from sod_tpu.models.maskformer import MaskFormerConfig, config_from, maskformer_apply
+
+
+def make_train_step(cfg: Config, tx: optax.GradientTransformation,
+                    mcfg: Optional[MaskFormerConfig] = None) -> Callable:
+    """Build the jitted train step.
+
+    batch: {"image": [B, H, W, 3], "gt_masks": [B, M, Hm, Wm] float,
+            "gt_valid": [B, M] bool, "labels": [B] int}
+    returns (params, opt_state, metrics-dict).
+    """
+    if mcfg is None:
+        mcfg = config_from(cfg)
+    use_cls = not cfg.use_binary_classifier  # trainer pyc 113-117
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def loss_fn(params, batch):
+        x = batch["image"].astype(compute_dtype)
+        out = maskformer_apply(params, x, mcfg)
+        res = criterion_forward(
+            out["mask_pred"].astype(jnp.float32),
+            batch["gt_masks"].astype(jnp.float32),
+            batch["gt_valid"],
+            out.get("objectness"),
+            use_classification_loss=use_cls,
+            features=out["features"].astype(jnp.float32),
+            feature_labels=batch.get("labels"),
+            weight_contrastive_loss=cfg.weight_contrastive_loss,
+            temperature=cfg.temperature,
+        )
+        return res["loss"], res
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        (loss, res), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = {
+            "loss": loss,
+            "dice_loss": res["avg_dice_loss"],
+            "ranking_loss": res["avg_ranking_loss"],
+            "classification_loss": res["avg_classification_loss"],
+            "contrastive_loss": res["avg_contrastive_loss"],
+            "iou": res["avg_iou"],
+            "grad_norm": gnorm,
+        }
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Config,
+                   mcfg: Optional[MaskFormerConfig] = None) -> Callable:
+    """Forward-only step returning last-layer masks + objectness
+    (ref evaluator pyc 199-205 takes the last decoder layer)."""
+    if mcfg is None:
+        mcfg = config_from(cfg)
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def eval_step(params, image):
+        out = maskformer_apply(params, image.astype(compute_dtype), mcfg)
+        mask_pred = out["mask_pred"][:, -1].astype(jnp.float32)   # [B, Q, h, w]
+        objectness = out["objectness"][:, -1, :, 0].astype(jnp.float32)  # [B, Q]
+        return {"mask_pred": mask_pred, "objectness": objectness}
+
+    return eval_step
