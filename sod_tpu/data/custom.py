@@ -1,0 +1,36 @@
+"""Path-list dataset for feature extraction / pseudo-mask generation
+(ref ``datasets/custom_dataset.py:7-32``): resize + ImageNet normalize."""
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+from PIL import Image
+
+from sod_tpu.data.augment import normalize, resize_pil
+
+
+class CustomDataset:
+    def __init__(self, image_paths: List[str],
+                 image_size: Optional[int] = None):
+        assert len(image_paths) > 0, "No image paths are given."
+        self.image_paths = image_paths
+        self.image_size = image_size
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    def __getitem__(self, index: int) -> dict:
+        p = self.image_paths[index]
+        img = Image.open(p).convert("RGB")
+        if self.image_size is not None:
+            # torchvision Resize(int): shorter edge -> image_size
+            w, h = img.size
+            if h <= w:
+                size = (self.image_size, max(1, round(w * self.image_size / h)))
+            else:
+                size = (max(1, round(h * self.image_size / w)), self.image_size)
+            img = resize_pil(img, size, "bilinear")
+        return {"image": normalize(np.asarray(img, np.float32)),
+                "filename": os.path.basename(p), "p_img": p}

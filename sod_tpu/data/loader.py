@@ -1,0 +1,131 @@
+"""Host data loader: threaded decode/augment with batch prefetch.
+
+Replaces torch ``DataLoader`` + worker processes (ref
+``datasets/base_dataset.py:138-164``, trainer pyc 76-82 num_workers=4).
+JPEG decode, augmentation and collation run in a thread pool (PIL/NumPy
+release the GIL for the heavy parts); a bounded queue keeps
+``prefetch_batches`` batches ready so the accelerator never waits on the
+host — the BASELINE north-star requires the ViT forward, not JPEG decode,
+to be the bottleneck.
+
+``collate_train`` produces the static-shape padded batches the jitted train
+step consumes:
+* per-sample all-zero mask rows are dropped and samples left with no masks
+  are marked invalid instead of shrinking the batch (the reference's
+  ``collate_fn`` drops them, ``datasets/duts.py:63-98`` — a shape change
+  per batch that would force recompilation here);
+* GT stacks are padded to ``max_gt_masks`` rows with a validity mask;
+* contrastive labels are a STABLE hash of the filename mod 10000 (the
+  reference uses Python's salted ``hash``, trainer pyc 99-104, which is not
+  reproducible across processes; crc32 keeps the same collision
+  statistics deterministically).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import zlib
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, List, Optional
+
+import numpy as np
+
+
+def stable_label(filename: str, mod: int = 10000) -> int:
+    return zlib.crc32(filename.encode("utf-8")) % mod
+
+
+def collate_train(samples: List[dict], max_gt_masks: int,
+                  batch_size: Optional[int] = None) -> dict:
+    """Pad a list of samples into one fixed-shape batch dict."""
+    n = len(samples)
+    batch_size = batch_size or n
+    h, w = samples[0]["image"].shape[:2]
+
+    images = np.zeros((batch_size, h, w, 3), np.float32)
+    gt = np.zeros((batch_size, max_gt_masks, h, w), np.float32)
+    valid = np.zeros((batch_size, max_gt_masks), bool)
+    labels = np.zeros((batch_size,), np.int32)
+    filenames: List[str] = []
+
+    for i, s in enumerate(samples):
+        images[i] = s["image"]
+        masks = s["masks"]
+        # drop empty mask rows (ref base_dataset.py:134-135 + duts collate)
+        keep = masks.reshape(masks.shape[0], -1).sum(-1) > 0
+        masks = masks[keep][:max_gt_masks]
+        m = masks.shape[0]
+        if m > 0:
+            gt[i, :m] = masks.astype(np.float32)
+            valid[i, :m] = True
+        labels[i] = stable_label(s["filename"])
+        filenames.append(s["filename"])
+
+    return {"image": images, "gt_masks": gt, "gt_valid": valid,
+            "labels": labels, "filename": filenames}
+
+
+class DataLoader:
+    """Iterates batches with threaded sample loading and prefetch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: int = 4,
+                 collate_fn: Optional[Callable[[List[dict]], dict]] = None,
+                 drop_last: bool = False, seed: int = 0,
+                 prefetch_batches: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.collate_fn = collate_fn or (lambda xs: xs)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch_batches = prefetch_batches
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng([self.seed, self._epoch]).shuffle(order)
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, n, self.batch_size)]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, idxs))
+                    q.put(self.collate_fn(samples))
+            q.put(_END)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+_END = object()

@@ -94,34 +94,51 @@ def bce_loss_matrix(pred: jax.Array, gt: jax.Array, eps: float = 1e-7) -> jax.Ar
 
 
 def contrastive_loss(features: jax.Array, labels: jax.Array,
-                     temperature: float) -> jax.Array:
+                     temperature: float,
+                     valid: Optional[jax.Array] = None) -> jax.Array:
     """Supervised InfoNCE over pooled decoder queries (ref criterion pyc
     ``_contrastive_loss``).
 
     :param features: [B, D]; :param labels: [B] int.
-    Guards (return 0.0): B < 2 or no positive pairs.
+    :param valid: optional [B] bool — rows corresponding to images the
+        reference's collate_fn would have dropped are excluded everywhere
+        (positives, denominator, final mean), so a padded batch gives the
+        exact value the reference computes on its ragged batch.
+    Guards (return 0.0): fewer than 2 valid rows or no positive pairs.
     """
     b = features.shape[0]
     if b < 2:
         return jnp.float32(0.0)
+    if valid is None:
+        valid = jnp.ones((b,), bool)
+    validf = valid.astype(jnp.float32)
+    n_valid = validf.sum()
+
     f = features.astype(jnp.float32)
     f = f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
     sim = (f @ f.T) / temperature                                  # [B, B]
 
     labels = labels.reshape(-1, 1)
-    pos_mask = (labels == labels.T).astype(jnp.float32)
+    pair_valid = validf[:, None] * validf[None, :]
+    pos_mask = (labels == labels.T).astype(jnp.float32) * pair_valid
     eye = jnp.eye(b, dtype=bool)
     pos_mask = jnp.where(eye, 0.0, pos_mask)
 
-    logits = sim - jax.lax.stop_gradient(sim.max(axis=1, keepdims=True))
+    # max over valid columns only (invalid rows never contribute anyway)
+    row_max = jax.lax.stop_gradient(
+        jnp.max(jnp.where(validf[None, :] > 0, sim, -jnp.inf),
+                axis=1, keepdims=True))
+    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    logits = sim - row_max
     exp_logits = jnp.exp(logits)
-    non_self = 1.0 - jnp.eye(b, dtype=jnp.float32)
+    non_self = (1.0 - jnp.eye(b, dtype=jnp.float32)) * validf[None, :]
     log_prob = logits - jnp.log((exp_logits * non_self).sum(axis=1,
                                                             keepdims=True) + 1e-12)
     mean_log_prob_pos = (pos_mask * log_prob).sum(1) / (pos_mask.sum(1) + 1e-12)
-    loss = -mean_log_prob_pos.mean()
-    # no positives anywhere -> 0 (ref pyc 716-818)
-    return jnp.where(pos_mask.sum() > 0, loss, 0.0)
+    loss = -(mean_log_prob_pos * validf).sum() / jnp.maximum(n_valid, 1.0)
+    # no positives anywhere, or < 2 valid rows -> 0 (ref pyc 716-818)
+    ok = (pos_mask.sum() > 0) & (n_valid >= 2)
+    return jnp.where(ok, loss, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -268,11 +285,16 @@ def criterion_forward(
     # contrastive term: once per batch, weighted, normalised with the rest
     # (pyc 526-708 + 3870-3928)
     if features is not None and feature_labels is not None:
-        con = contrastive_loss(features, feature_labels, temperature)
+        con = contrastive_loss(features, feature_labels, temperature,
+                               valid=img_valid)
     else:
         con = jnp.float32(0.0)
 
-    loss = (total_main + weight_contrastive_loss * con) / b
+    # normalise by the number of images that actually contributed — the
+    # reference divides by len(batch_one_hot_gt_mask) AFTER its collate_fn
+    # dropped empty-mask images (pyc 3906-3932, datasets/duts.py:84-86);
+    # padded/invalid rows here correspond to those dropped images.
+    loss = (total_main + weight_contrastive_loss * con) / n_imgs
 
     out = {
         "loss": loss,
