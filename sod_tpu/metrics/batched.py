@@ -1,0 +1,133 @@
+"""Batched fixed-canvas metric evaluation.
+
+The reference evaluator computes its 7 metrics per image in a Python loop
+with GPU->CPU syncs (evaluator pyc 55-99, 216-226).  Here one jit region
+computes ALL metrics for a whole batch of canvas-padded images, each
+restricted to its true (h, w) rectangle via masked reductions — values are
+identical to slicing each image out first.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from sod_tpu.metrics.s_measure import s_measure_rect
+
+
+def _rect(shape, h, w):
+    H, W = shape
+    return ((jnp.arange(H)[:, None] < h) & (jnp.arange(W)[None, :] < w))
+
+
+def rect_metrics(pred: jax.Array, gt: jax.Array, h, w,
+                 beta_square: float = 0.3, n_bins: int = 255,
+                 eps: float = 1e-7) -> Dict[str, jax.Array]:
+    """All evaluator metrics for ONE canvas pair restricted to (h, w).
+
+    :param pred: [H, W] float in [0, 1] (canvas; anything outside (h, w) is
+        ignored).  :param gt: [H, W] binary.
+    :return: iou, pixel_acc, f_measure, f_max, f_mean, mae, s_measure.
+    """
+    valid = _rect(pred.shape, h, w)
+    n = valid.sum().astype(jnp.float32)
+    gt_b = (gt > 0) & valid
+    gtf = gt_b.astype(jnp.float32)
+    predv = jnp.where(valid, pred, 0.0)
+
+    b2 = beta_square ** 2  # ref quirk: FMeasure squares beta_square again
+
+    def prec_recall(binary):
+        tp = (binary & gt_b).sum().astype(jnp.float32)
+        prec = tp / (binary.sum() + eps)
+        rec = tp / (gt_b.sum() + eps)
+        return prec, rec
+
+    def f(prec, rec):
+        return ((1 + b2) * prec * rec) / (b2 * prec + rec + eps)
+
+    # IoU / pixel acc / MAE (ref metrics/iou.py, pixel_acc.py, mae.py)
+    pb = (pred > 0.5) & valid
+    inter = (pb & gt_b).sum()
+    union = (pb | gt_b).sum()
+    iou = inter / (union + eps)
+    pixel_acc = ((pb == gt_b) & valid).sum() / n
+    mae = (jnp.abs(predv - gtf) * valid).sum() / n
+
+    # F-measure @0.5
+    f_measure = f(*prec_recall(pb))
+
+    # F-max over 255 thresholds
+    thresholds = jnp.arange(n_bins, dtype=jnp.float32) / n_bins
+    binary = (predv[None] > thresholds[:, None, None]) & valid[None]
+    tp = (binary & gt_b[None]).sum(axis=(-1, -2)).astype(jnp.float32)
+    prec = tp / (binary.sum(axis=(-1, -2)) + eps)
+    rec = tp / (gt_b.sum() + eps)
+    f_max = f(prec, rec).max()
+
+    # F-mean @ adaptive 2*mean threshold (mean over the valid rect)
+    adaptive = 2.0 * predv.sum() / n
+    f_mean = f(*prec_recall((predv > adaptive) & valid))
+
+    s_m = s_measure_rect(predv, gtf, h, w)
+
+    return {"iou": iou, "pixel_acc": pixel_acc, "f_measure": f_measure,
+            "f_max": f_max, "f_mean": f_mean, "mae": mae, "s_measure": s_m}
+
+
+def upper_bound_index(pred_masks: jax.Array, gt: jax.Array, h, w,
+                      quantity: str = "iou") -> jax.Array:
+    """Best query index vs GT (ref evaluator pyc ``_get_upper_bound_mask``):
+    argmax IoU@0.5 (default) / argmax f_measure / argmin MAE over queries.
+
+    :param pred_masks: [Q, H, W] canvas; gt [H, W]."""
+    valid = _rect(gt.shape, h, w)
+    gt_b = (gt > 0) & valid
+    n = valid.sum().astype(jnp.float32)
+    if quantity == "iou":
+        pb = (pred_masks > 0.5) & valid[None]
+        inter = (pb & gt_b[None]).sum(axis=(-1, -2))
+        union = (pb | gt_b[None]).sum(axis=(-1, -2))
+        return jnp.argmax(inter / (union + 1e-7))
+    if quantity == "f_measure":
+        pb = (pred_masks > 0.5) & valid[None]
+        tp = (pb & gt_b[None]).sum(axis=(-1, -2)).astype(jnp.float32)
+        prec = tp / (pb.sum(axis=(-1, -2)) + 1e-7)
+        rec = tp / (gt_b.sum() + 1e-7)
+        b2 = 0.3 ** 2
+        return jnp.argmax(((1 + b2) * prec * rec) / (b2 * prec + rec + 1e-7))
+    if quantity == "mae":
+        gtf = gt_b.astype(jnp.float32)
+        mae = (jnp.abs(jnp.where(valid[None], pred_masks, 0.0) - gtf[None])
+               * valid[None]).sum(axis=(-1, -2)) / n
+        return jnp.argmin(mae)
+    raise ValueError(quantity)
+
+
+def eval_batch_metrics(pred_masks: jax.Array, objectness: jax.Array,
+                       gt: jax.Array, sizes: jax.Array,
+                       cost_type: str = "iou") -> Dict[str, jax.Array]:
+    """Per-image metric suite for a canvas batch, fully on device.
+
+    :param pred_masks: [B, Q, H, W] upsampled-to-canvas sigmoid masks.
+    :param objectness: [B, Q].
+    :param gt: [B, H, W] binary canvas GT.
+    :param sizes: [B, 2] true (h, w) per image.
+    :return: {metric: [B]} for the 7 metrics x {selected, _ub} plus the
+        chosen indices.
+    """
+    def per_image(pm, obj, g, hw):
+        h, w = hw[0], hw[1]
+        sel_idx = jnp.argmax(obj)              # ref evaluator pyc 219-221
+        ub_idx = upper_bound_index(pm, g, h, w, cost_type)
+        sel = pm[sel_idx]
+        ub = pm[ub_idx]
+        out = {k: v for k, v in rect_metrics(sel, g, h, w).items()}
+        for k, v in rect_metrics(ub, g, h, w).items():
+            out[f"{k}_ub"] = v
+        out["selected_index"] = sel_idx
+        out["ub_index"] = ub_idx
+        return out
+
+    return jax.vmap(per_image)(pred_masks, objectness, gt, sizes)

@@ -114,7 +114,7 @@ def _decoder_layer_init(rng: jax.Array, d: int, ffn_dim: int, dtype=jnp.float32)
 
 def _decoder_layer_apply(lp: dict, tgt: jax.Array, memory: jax.Array,
                          query_pos: jax.Array, n_heads: int,
-                         eps: float) -> jax.Array:
+                         eps: float, memory_mask=None) -> jax.Array:
     """Post-norm: self-attn -> cross-attn -> FFN (ref
     ``transformer_decoder.py:260-297``; dropout is 0 in the live config)."""
     qk = tgt + query_pos
@@ -122,7 +122,8 @@ def _decoder_layer_apply(lp: dict, tgt: jax.Array, memory: jax.Array,
     tgt = layer_norm(lp["norm1"], tgt, eps)
 
     q = tgt + query_pos
-    tgt = tgt + multi_head_attention(lp["cross_attn"], q, memory, memory, n_heads)
+    tgt = tgt + multi_head_attention(lp["cross_attn"], q, memory, memory,
+                                     n_heads, key_mask=memory_mask)
     tgt = layer_norm(lp["norm2"], tgt, eps)
 
     h = jax.nn.relu(linear(lp["linear1"], tgt))
@@ -200,8 +201,20 @@ def forward_encoder(params: dict, x: jax.Array, cfg: MaskFormerConfig,
         return feats.reshape(b, h * w, d), (h, w)
 
 
+def _replicate_edges(feats: jax.Array, gh: jax.Array, gw: jax.Array) -> jax.Array:
+    """Clamp-gather so rows >= gh repeat row gh-1 and cols >= gw repeat col
+    gw-1.  Makes bilinear upsampling of a canvas grid bit-equal to torch's
+    edge-clamped upsampling of the true (gh, gw) grid for every output pixel
+    inside the valid region (fixed-canvas variable-size eval)."""
+    g_h, g_w = feats.shape[0], feats.shape[1]
+    rows = jnp.minimum(jnp.arange(g_h), gh - 1)
+    cols = jnp.minimum(jnp.arange(g_w), gw - 1)
+    return feats[rows][:, cols]
+
+
 def forward_transformer_decoder(params: dict, memory: jax.Array,
-                                cfg: MaskFormerConfig) -> jax.Array:
+                                cfg: MaskFormerConfig,
+                                memory_mask=None) -> jax.Array:
     """Queries through the decoder.
 
     :param memory: [B, N, D] patch tokens.
@@ -220,7 +233,8 @@ def forward_transformer_decoder(params: dict, memory: jax.Array,
     eps = cfg.decoder_ln_eps
 
     def body(tgt, lp):
-        tgt = _decoder_layer_apply(lp, tgt, memory, query_pos, cfg.n_heads, eps)
+        tgt = _decoder_layer_apply(lp, tgt, memory, query_pos, cfg.n_heads,
+                                   eps, memory_mask=memory_mask)
         return tgt, layer_norm(dec["norm"], tgt, eps)
 
     _, per_layer = jax.lax.scan(body, tgt0, dec["layers"])   # [L, B, Q, D]
@@ -280,3 +294,61 @@ def maskformer_apply(params: dict, x: jax.Array, cfg: MaskFormerConfig,
         mask_logits = jnp.einsum("blqd,bhwd->blqhw", proj, upsampled,
                                  preferred_element_type=jnp.float32)
         return {"mask_pred": jax.nn.sigmoid(mask_logits), "features": features}
+
+
+def maskformer_apply_canvas(params: dict, x: jax.Array,
+                            cfg: MaskFormerConfig,
+                            token_mask: jax.Array,
+                            pos_embed_override: jax.Array,
+                            grid_sizes: jax.Array) -> Dict[str, jax.Array]:
+    """Fixed-canvas forward for variable-resolution batched evaluation.
+
+    The reference evaluates each image at its own (padded-to-patch) original
+    resolution with batch_size=1 (evaluator pyc 175-211; base
+    ``__getitem__`` never resizes in test mode).  On TPU that would mean a
+    recompile per unique image shape, so instead every image is placed in
+    the top-left of a fixed canvas and:
+
+    * canvas-padding tokens are excluded from attention via ``token_mask``
+      ([B, 1+N]; CLS always True),
+    * per-image bicubic pos-embeds for the TRUE grid are computed on the
+      host and passed via ``pos_embed_override`` ([B, 1+N, D], zeros on
+      padding tokens),
+    * before the pixel-decoder upsample the valid region's edge rows/cols
+      are replicated across the padding (``_replicate_edges``) so the
+      bilinear interpolation at the valid-region boundary clamps exactly
+      like torch's edge handling on the true-size grid.
+
+    The result equals running the reference per image, with one compile and
+    full batching.  ``grid_sizes``: [B, 2] int (gh, gw) per image.
+    Returns full-canvas ``mask_pred`` [B, L, Q, 2G_h, 2G_w] — callers crop
+    to each image's valid region.
+    """
+    assert cfg.arch == "vit_small", "canvas path is for the ViT encoder"
+    from sod_tpu.models.vit import vit_apply
+
+    tokens = vit_apply(params["encoder"], x, cfg.vit, all_layers=False,
+                       token_mask=token_mask,
+                       pos_embed_override=pos_embed_override)
+    memory = tokens[:, 1:, :]                                  # [B, N, D]
+    patch_mask = token_mask[:, 1:]
+
+    queries = forward_transformer_decoder(params, memory, cfg,
+                                          memory_mask=patch_mask)
+    features = queries[:, -1].mean(axis=1)
+
+    b, n, d = memory.shape
+    gh_c = x.shape[1] // cfg.vit.patch_size
+    gw_c = x.shape[2] // cfg.vit.patch_size
+    grid = memory.reshape(b, gh_c, gw_c, d)
+    grid = jax.vmap(_replicate_edges)(grid, grid_sizes[:, 0], grid_sizes[:, 1])
+    upsampled = forward_pixel_decoder(grid.reshape(b, n, d), (gh_c, gw_c), cfg)
+
+    mask_logits = jnp.einsum("blqd,bhwd->blqhw", queries, upsampled,
+                             preferred_element_type=jnp.float32)
+    out = {"mask_pred": jax.nn.sigmoid(mask_logits), "features": features}
+    if cfg.use_binary_classifier:
+        out["objectness"] = jax.nn.sigmoid(
+            mlp_apply(params["ffn"], queries.astype(jnp.float32),
+                      activation="relu"))
+    return out

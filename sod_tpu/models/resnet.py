@@ -1,0 +1,175 @@
+"""ResNet-50 backbones, TPU-native (NHWC, functional).
+
+Mirrors the reference stack (ref ``networks/resnet.py`` /
+``resnet_backbone.py`` / ``resnet_models.py``):
+
+* standard (non-deep-base) stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool
+  (ref ``resnet_models.py:114-121``);
+* v1.5 bottlenecks (stride on the 3x3 conv, ref
+  ``resnet_models.py:56-93``) in [3, 4, 6, 3] layers;
+* dilated-8 variant (the ``ResNet50`` wrapper default,
+  ``networks/resnet.py:12-16``): layer3 strides removed with dilation 2,
+  layer4 with dilation 4 — exactly the reference's ``_nostride_dilate``
+  with ``multi_grid=None`` (``resnet_backbone.py:43-88``: the strided 3x3
+  gets dilation ``dilate // 2``, others ``dilate``);
+* output: dict of the four stage features ``res2..res5`` (the reference
+  returns them as a tuple, ``resnet_backbone.py:27-39``; the MaskFormer
+  path consumes the last, ``maskformer.py:115``), ``num_features=2048``.
+
+BatchNorm runs in inference mode (frozen statistics).  This matches the
+reference's two real uses: frozen MoCo-v2/SwAV feature extraction for
+pseudo-mask generation, and fine-tuning where freezing BN stats at
+ImageNet values is the standard small-batch practice (the reference
+would be updating batch stats with batch 8; a documented divergence).
+
+Checkpoint conversion from the torch state_dicts (MoCo-v2 / SwAV /
+torchvision) lives in ``sod_tpu.models.convert``.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+RESNET50_OUT_CHANNELS = 2048
+_LAYERS = (3, 4, 6, 3)
+_PLANES = (64, 128, 256, 512)
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def conv_init(rng, kh, kw, cin, cout, dtype=jnp.float32):
+    """He-normal matching the reference init (``resnet_models.py:130-133``:
+    N(0, sqrt(2/n)), n = kh*kw*cout)."""
+    n = kh * kw * cout
+    return jax.random.normal(rng, (kh, kw, cin, cout), dtype) * math.sqrt(2.0 / n)
+
+
+def conv(w, x, stride=1, dilation=1):
+    kh = w.shape[0]
+    pad = dilation * (kh - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def bn_init(c, dtype=jnp.float32):
+    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype),
+            "mean": jnp.zeros((c,), dtype), "var": jnp.ones((c,), dtype)}
+
+
+def batch_norm(p, x, eps: float = 1e-5):
+    inv = jax.lax.rsqrt(p["var"].astype(jnp.float32) + eps)
+    scale = (p["scale"].astype(jnp.float32) * inv)
+    bias = p["bias"].astype(jnp.float32) - p["mean"].astype(jnp.float32) * scale
+    return (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
+
+
+def max_pool_3x3_s2(x):
+    """torch MaxPool2d(3, 2, padding=1, ceil_mode=False) in NHWC."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+def _bottleneck_init(rng, cin, planes, has_down, down_stride, dtype):
+    ks = jax.random.split(rng, 4)
+    p = {
+        "conv1": conv_init(ks[0], 1, 1, cin, planes, dtype),
+        "bn1": bn_init(planes, dtype),
+        "conv2": conv_init(ks[1], 3, 3, planes, planes, dtype),
+        "bn2": bn_init(planes, dtype),
+        "conv3": conv_init(ks[2], 1, 1, planes, planes * 4, dtype),
+        "bn3": bn_init(planes * 4, dtype),
+    }
+    if has_down:
+        p["down_conv"] = conv_init(ks[3], 1, 1, cin, planes * 4, dtype)
+        p["down_bn"] = bn_init(planes * 4, dtype)
+    return p
+
+
+def _bottleneck_apply(p, x, stride, dilation):
+    out = jax.nn.relu(batch_norm(p["bn1"], conv(p["conv1"], x)))
+    out = jax.nn.relu(batch_norm(p["bn2"],
+                                 conv(p["conv2"], out, stride, dilation)))
+    out = batch_norm(p["bn3"], conv(p["conv3"], out))
+    if "down_conv" in p:
+        residual = batch_norm(p["down_bn"], conv(p["down_conv"], x, stride))
+    else:
+        residual = x
+    return jax.nn.relu(out + residual)
+
+
+def _stage_geometry(dilate_scale: Optional[int]):
+    """(stride, conv2_dilation) per stage-first-block / rest, following the
+    reference's ``_nostride_dilate`` with multi_grid=None."""
+    # stage index: 0..3 (layer1..layer4)
+    geo = {}
+    for i in range(4):
+        first_stride = 1 if i == 0 else 2
+        first_dil, rest_dil = 1, 1
+        if dilate_scale == 8:
+            if i == 2:     # layer3, dilate=2
+                first_stride, first_dil, rest_dil = 1, 1, 2
+            if i == 3:     # layer4, dilate=4
+                first_stride, first_dil, rest_dil = 1, 2, 4
+        elif dilate_scale == 16:
+            if i == 3:     # layer4, dilate=2
+                first_stride, first_dil, rest_dil = 1, 1, 2
+        geo[i] = (first_stride, first_dil, rest_dil)
+    return geo
+
+
+def resnet50_init(rng, dilate_scale: Optional[int] = 8,
+                  dtype=jnp.float32) -> dict:
+    """ResNet-50 params; ``dilate_scale=8`` is the reference's live config
+    (``networks/resnet.py:12``), None = normal stride-32 backbone."""
+    ks = jax.random.split(rng, 6)
+    params = {
+        "prefix": {"conv1": conv_init(ks[0], 7, 7, 3, 64, dtype),
+                   "bn1": bn_init(64, dtype)},
+    }
+    cin = 64
+    for i, (n_blocks, planes) in enumerate(zip(_LAYERS, _PLANES)):
+        bks = jax.random.split(ks[i + 1], n_blocks)
+        blocks = {}
+        for b in range(n_blocks):
+            stride_for_down = (1 if i == 0 else 2)
+            has_down = b == 0 and (stride_for_down != 1 or cin != planes * 4)
+            blocks[f"block{b}"] = _bottleneck_init(
+                bks[b], cin, planes, has_down, stride_for_down, dtype)
+            cin = planes * 4
+        params[f"layer{i + 1}"] = blocks
+    return params
+
+
+def resnet50_apply(params: dict, x: jax.Array,
+                   dilate_scale: Optional[int] = 8) -> Dict[str, jax.Array]:
+    """Forward; x: [B, H, W, 3] normalized. Returns res2..res5 (NHWC)."""
+    geo = _stage_geometry(dilate_scale)
+    h = jax.nn.relu(batch_norm(params["prefix"]["bn1"],
+                               conv(params["prefix"]["conv1"], x, stride=2)))
+    h = max_pool_3x3_s2(h)
+    outs = {}
+    for i in range(4):
+        first_stride, first_dil, rest_dil = geo[i]
+        blocks = params[f"layer{i + 1}"]
+        for b in range(len([k for k in blocks if k.startswith("block")])):
+            stride = first_stride if b == 0 else 1
+            dil = first_dil if b == 0 else rest_dil
+            h = _bottleneck_apply(blocks[f"block{b}"], h, stride, dil)
+        outs[f"res{i + 2}"] = h
+    return outs

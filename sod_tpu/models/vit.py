@@ -159,9 +159,17 @@ def interpolate_pos_encoding(pos_embed: jax.Array, grid_hw: Tuple[int, int],
     return jnp.concatenate([cls_pe, patch_pe], axis=1)
 
 
-def prepare_tokens(params: dict, x: jax.Array, cfg: ViTConfig) -> Tuple[jax.Array, Tuple[int, int]]:
+def prepare_tokens(params: dict, x: jax.Array, cfg: ViTConfig,
+                   pos_embed_override: Optional[jax.Array] = None
+                   ) -> Tuple[jax.Array, Tuple[int, int]]:
     """Patchify + CLS + interpolated pos-embed (ref ``prepare_tokens``,
-    ``vision_transformer.py:269-281``).  Returns (tokens [B, 1+N, D], grid)."""
+    ``vision_transformer.py:269-281``).  Returns (tokens [B, 1+N, D], grid).
+
+    :param pos_embed_override: [B or 1, 1+N, D] pre-interpolated positional
+        embeddings — the fixed-canvas variable-size eval path computes them
+        per image on the host (exact bicubic per true grid size) and feeds
+        them here instead of the in-graph interpolation.
+    """
     x = make_input_divisible(x, cfg.patch_size)
     gh, gw = x.shape[1] // cfg.patch_size, x.shape[2] // cfg.patch_size
     tokens = patchify(params["patch_embed"], x, cfg.patch_size)
@@ -169,21 +177,28 @@ def prepare_tokens(params: dict, x: jax.Array, cfg: ViTConfig) -> Tuple[jax.Arra
     cls = jnp.broadcast_to(params["cls_token"].astype(tokens.dtype),
                            (b, 1, tokens.shape[-1]))
     tokens = jnp.concatenate([cls, tokens], axis=1)
-    pe = interpolate_pos_encoding(params["pos_embed"], (gh, gw), cfg.pos_grid)
+    if pos_embed_override is not None:
+        pe = pos_embed_override
+    else:
+        pe = interpolate_pos_encoding(params["pos_embed"], (gh, gw),
+                                      cfg.pos_grid)
     tokens = tokens + pe.astype(tokens.dtype)
     return tokens, (gh, gw)
 
 
 def _block_apply(bp: dict, x: jax.Array, cfg: ViTConfig,
-                 return_attn: bool = False):
+                 return_attn: bool = False,
+                 key_mask: Optional[jax.Array] = None):
     """One transformer block (ref ``vision_transformer.py:136-170``)."""
     if return_attn:
         _, attn = self_attention_qkv(bp["attn"],
                                      layer_norm(bp["norm1"], x, cfg.ln_eps),
-                                     cfg.n_heads, return_attn=True)
+                                     cfg.n_heads, return_attn=True,
+                                     key_mask=key_mask)
         return attn
     y = self_attention_qkv(bp["attn"], layer_norm(bp["norm1"], x, cfg.ln_eps),
-                           cfg.n_heads, use_flash=cfg.use_flash)
+                           cfg.n_heads, use_flash=cfg.use_flash,
+                           key_mask=key_mask)
     x = x + y
     x = x + mlp_apply(bp["mlp"], layer_norm(bp["norm2"], x, cfg.ln_eps),
                       activation="gelu")
@@ -191,7 +206,9 @@ def _block_apply(bp: dict, x: jax.Array, cfg: ViTConfig,
 
 
 def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
-              all_layers: bool = True) -> jax.Array:
+              all_layers: bool = True,
+              token_mask: Optional[jax.Array] = None,
+              pos_embed_override: Optional[jax.Array] = None) -> jax.Array:
     """Run the encoder.
 
     :param x: [B, H, W, 3] images (already normalized).
@@ -199,11 +216,15 @@ def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
         every block stacked as [L, B, 1+N, D] (the reference forward's
         ``{"layer1".."layer12"}`` dict, ``vision_transformer.py:293-304``);
         if False return just the last layer's normed tokens [B, 1+N, D].
+    :param token_mask: [B, 1+N] bool; False tokens (canvas padding) are
+        excluded as attention keys, making the fixed-canvas computation
+        exactly equal to running each image at its own padded-to-patch
+        size.
     """
-    tokens, _ = prepare_tokens(params, x, cfg)
+    tokens, _ = prepare_tokens(params, x, cfg, pos_embed_override)
 
     def body(carry, bp):
-        out = _block_apply(bp, carry, cfg)
+        out = _block_apply(bp, carry, cfg, key_mask=token_mask)
         normed = layer_norm(params["norm"], out, cfg.ln_eps) if all_layers else 0.0
         return out, normed
 

@@ -24,11 +24,17 @@ import jax.numpy as jnp
 from sod_tpu.ops.layers import linear
 
 
-def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
-          scale: float) -> jax.Array:
-    """softmax(q k^T * scale) v  over [B, H, N, d] tensors (fp32 softmax)."""
+def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+          key_mask: Optional[jax.Array] = None) -> jax.Array:
+    """softmax(q k^T * scale) v  over [B, H, N, d] tensors (fp32 softmax).
+
+    :param key_mask: optional [B, Nk] bool; False keys are excluded from the
+        softmax (canvas-padding tokens in fixed-shape variable-size eval).
+    """
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
+    if key_mask is not None:
+        logits = jnp.where(key_mask[:, None, None, :], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
@@ -51,6 +57,7 @@ def self_attention_qkv(
     n_heads: int,
     return_attn: bool = False,
     use_flash: bool = False,
+    key_mask: Optional[jax.Array] = None,
 ):
     """ViT-style fused-QKV self-attention.
 
@@ -72,6 +79,8 @@ def self_attention_qkv(
     if return_attn:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * scale
+        if key_mask is not None:
+            logits = jnp.where(key_mask[:, None, None, :], logits, -1e30)
         probs = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
                          preferred_element_type=jnp.float32).astype(v.dtype)
@@ -81,9 +90,9 @@ def self_attention_qkv(
     if use_flash:
         from sod_tpu.ops.flash_attention import flash_attention
 
-        out = flash_attention(q, k, v, scale=scale)
+        out = flash_attention(q, k, v, scale, key_mask)
     else:
-        out = _sdpa(q, k, v, scale)
+        out = _sdpa(q, k, v, scale, key_mask)
     return linear(params["proj"], _merge_heads(out))
 
 
@@ -93,6 +102,7 @@ def multi_head_attention(
     key: jax.Array,
     value: jax.Array,
     n_heads: int,
+    key_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """torch ``nn.MultiheadAttention`` equivalent (batch-first layout here).
 
@@ -117,7 +127,7 @@ def multi_head_attention(
     k = _split_heads(proj(key, wk, d), n_heads)
     v = _split_heads(proj(value, wv, 2 * d), n_heads)
 
-    out = _sdpa(q, k, v, scale)
+    out = _sdpa(q, k, v, scale, key_mask)
     return linear(params["out_proj"], _merge_heads(out))
 
 

@@ -1,0 +1,48 @@
+"""Checkpointing via orbax (ref trainer pyc 180-187 saves
+``{model, optimizer, lr_scheduler, n_epochs, n_iters}`` to
+``latest_model.pt`` each epoch and ``best_model.pt`` per benchmark on IoU
+improvement, pyc 218-228).
+
+The reference is save-only (no resume path, SURVEY §5); here ``restore``
+actually restores params + optimizer state + counters, enabling
+checkpoint/resume."""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _checkpointer():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, params: Any, opt_state: Any = None,
+                    epoch: int = 0, n_iters: int = 0,
+                    extra: Optional[Dict] = None) -> None:
+    """Write a full training checkpoint to ``path`` (a directory)."""
+    path = os.path.abspath(path)
+    payload = {
+        "params": jax.device_get(params),
+        "epoch": epoch,
+        "n_iters": n_iters,
+    }
+    if opt_state is not None:
+        payload["opt_state"] = jax.device_get(opt_state)
+    if extra:
+        payload["extra"] = extra
+    _checkpointer().save(path, payload, force=True)
+
+
+def restore_checkpoint(path: str, template: Optional[Any] = None) -> Dict:
+    """Restore a checkpoint saved by ``save_checkpoint``.
+
+    :param template: optional pytree with the same structure/dtypes to
+        restore into (required for exact dtype restoration of bf16 params).
+    """
+    path = os.path.abspath(path)
+    if template is not None:
+        return _checkpointer().restore(path, item=template)
+    return _checkpointer().restore(path)

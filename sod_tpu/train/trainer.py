@@ -1,0 +1,168 @@
+"""Trainer — the training orchestration loop (ref ``trainer.py`` bytecode).
+
+Reference flow (trainer pyc 60-235): per epoch, iterate the DUTS-TR loader
+(batch 8, shuffle, 4 workers), forward -> criterion (with
+``use_classification_loss = not model.use_binary_classifier``, pyc
+113-117; contrastive labels = hash(filename) % 10000, pyc 99-104) ->
+backward + grad-clip 1.0 + AdamW + per-iter poly LR; every epoch: wandb
+log, ``latest_model`` checkpoint; evaluate all benchmarks and keep
+``best_model`` per benchmark on IoU improvement (pyc 190-228).
+
+TPU-native redesign: forward+loss+clip+update is ONE jitted
+``train_step`` (``sod_tpu.train.step``) over static padded batches; under
+a data-parallel mesh the loop is unchanged — the batch arrives sharded and
+XLA inserts the gradient all-reduce (``sod_tpu.parallel``).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from sod_tpu.config import Config, define_experim_name
+from sod_tpu.data import DataLoader, get_dataset
+from sod_tpu.data.loader import collate_train
+from sod_tpu.metrics import AverageMeter
+from sod_tpu.models.maskformer import config_from, maskformer_init
+from sod_tpu.parallel import make_mesh, replicated, shard_batch
+from sod_tpu.train.checkpoints import save_checkpoint
+from sod_tpu.train.evaluator import Evaluator
+from sod_tpu.train.logging import MetricLogger
+from sod_tpu.train.optim import build_optimizer
+from sod_tpu.train.step import make_train_step
+
+DEFAULT_BENCHMARKS = ["ecssd", "duts", "dut_omron"]   # trainer pyc 39
+
+
+class Trainer:
+    def __init__(self, cfg: Config, params=None, mcfg=None,
+                 dataset=None, evaluator: Optional[Evaluator] = None,
+                 benchmarks: Optional[List[str]] = None,
+                 visualizer=None, debug: bool = False,
+                 mesh=None):
+        self.cfg = cfg
+        self.mcfg = mcfg or config_from(cfg)
+        self.debug = debug or cfg.debug
+        self.visualizer = visualizer
+        self.benchmarks = benchmarks or cfg.benchmarks or DEFAULT_BENCHMARKS
+
+        self.experim_name = define_experim_name(cfg)
+        self.dir_ckpt = os.path.join(cfg.dir_ckpt, self.experim_name)
+        os.makedirs(self.dir_ckpt, exist_ok=True)
+
+        self.dataset = dataset if dataset is not None else get_dataset(
+            cfg.dir_dataset, cfg.dataset_name, mode="train",
+            train_img_size=cfg.train_image_size,
+            scale_range=cfg.scale_range,
+            use_pseudo_masks=cfg.use_pseudo_masks,
+            pseudo_masks_fp=cfg.pseudo_masks_fp,
+            use_copy_paste=cfg.use_copy_paste,
+        )
+
+        if params is None:
+            params = maskformer_init(jax.random.key(cfg.seed), self.mcfg)
+        self.params = params
+
+        n_iters = max(1, len(self.dataset) // cfg.batch_size)
+        self.tx = build_optimizer(cfg, n_iters_per_epoch=n_iters)
+        self.opt_state = self.tx.init(self.params)
+        self.train_step = make_train_step(cfg, self.tx, self.mcfg)
+        self.n_iters_per_epoch = n_iters
+
+        self.mesh = mesh if mesh is not None else (
+            make_mesh(cfg.mesh_data_axis) if cfg.mesh_data_axis > 1 else None)
+        if self.mesh is not None:
+            rep = replicated(self.mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
+
+        self.evaluator = evaluator
+        self.logger = MetricLogger(self.dir_ckpt, name=self.experim_name)
+        self.n_iters_done = 0
+        self.best_scores: Dict[str, float] = {}
+
+        cfg.dump_json(os.path.join(self.dir_ckpt, "config.json"))
+
+    # ------------------------------------------------------------------
+    def _train_epoch(self, num_epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        self.dataset.set_mode("train")
+        self.dataset.use_data_augmentation_(True)
+
+        loader = DataLoader(
+            self.dataset, batch_size=cfg.batch_size, shuffle=True,
+            num_workers=cfg.num_workers, seed=cfg.seed,
+            collate_fn=lambda s: collate_train(s, cfg.max_gt_masks,
+                                               cfg.batch_size))
+        loader.set_epoch(num_epoch)
+
+        meters = {k: AverageMeter() for k in
+                  ("loss", "dice_loss", "ranking_loss", "classification_loss",
+                   "contrastive_loss", "iou", "grad_norm")}
+
+        for it, batch in enumerate(loader):
+            arrays = {k: v for k, v in batch.items() if k != "filename"}
+            if self.mesh is not None:
+                arrays = shard_batch(arrays, self.mesh)
+            self.params, self.opt_state, metrics = self.train_step(
+                self.params, self.opt_state, arrays)
+            self.n_iters_done += 1
+            host = jax.device_get(metrics)
+            for k, m in meters.items():
+                m.update(float(host[k]), 1)
+            if self.visualizer is not None and it % max(
+                    1, len(loader) // 10) == 0:
+                self.visualizer(num_epoch, it, batch, self.params)
+            if self.debug:
+                break
+
+        epoch_metrics = {f"avg_{k}": m.avg for k, m in meters.items()}
+        epoch_metrics["epoch"] = num_epoch
+        self.logger.log(epoch_metrics, step=self.n_iters_done)
+
+        save_checkpoint(os.path.join(self.dir_ckpt, "latest_model"),
+                        self.params, self.opt_state, epoch=num_epoch,
+                        n_iters=self.n_iters_done)
+        return epoch_metrics
+
+    # ------------------------------------------------------------------
+    def _evaluate(self, num_epoch: int) -> Dict[str, float]:
+        """Per-benchmark eval + best-IoU checkpointing (pyc 190-228)."""
+        if self.evaluator is None:
+            self.evaluator = Evaluator(self.params, self.cfg, self.mcfg,
+                                       debug=self.debug)
+        self.evaluator.params = self.params
+        all_metrics: Dict[str, float] = {}
+        for name in self.benchmarks:
+            try:
+                res = self.evaluator(
+                    dataset_name=name,
+                    dir_ckpt=os.path.join(self.dir_ckpt, "eval", name,
+                                          f"{num_epoch:02d}"),
+                )
+            except (AssertionError, FileNotFoundError) as e:
+                self.logger.log({"eval_skipped": name, "reason": str(e)})
+                continue
+            # rename keys "iou (DUTS)"-style (trainer pyc 204-210)
+            pretty = {"duts": "DUTS", "ecssd": "ECSSD",
+                      "dut_omron": "DUT-OMRON"}.get(name, name)
+            all_metrics.update({f"{k} ({pretty})": v for k, v in res.items()})
+
+            score = res["iou"]
+            if score > self.best_scores.get(name, -1.0):
+                self.best_scores[name] = score
+                save_checkpoint(
+                    os.path.join(self.dir_ckpt, f"best_model_{name}"),
+                    self.params, epoch=num_epoch, n_iters=self.n_iters_done)
+        if all_metrics:
+            self.logger.log(all_metrics, step=self.n_iters_done)
+        return all_metrics
+
+    # ------------------------------------------------------------------
+    def __call__(self, n_epochs: Optional[int] = None, device=None) -> None:
+        n_epochs = n_epochs or self.cfg.n_epochs
+        for epoch in range(1, n_epochs + 1):
+            self._train_epoch(epoch)
+            self._evaluate(epoch)

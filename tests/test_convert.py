@@ -1,0 +1,230 @@
+"""Checkpoint conversion parity: build torch models / state_dicts with the
+reference's key naming, convert, and compare full forwards."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from sod_tpu.models.convert import (  # noqa: E402
+    convert_maskformer,
+    convert_resnet50,
+    convert_vit,
+)
+from sod_tpu.models.maskformer import MaskFormerConfig, maskformer_apply  # noqa: E402
+from sod_tpu.models.resnet import resnet50_apply  # noqa: E402
+from sod_tpu.models.vit import ViTConfig, vit_apply  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# torch twin of the reference ViT forward (from torch.nn.functional only)
+# ---------------------------------------------------------------------------
+
+def torch_vit_forward(sd, x, depth, n_heads, eps=1e-6, prefix=""):
+    g = lambda k: torch.from_numpy(sd[prefix + k])
+    b = x.shape[0]
+    t = F.conv2d(x, g("patch_embed.proj.weight"), g("patch_embed.proj.bias"),
+                 stride=g("patch_embed.proj.weight").shape[-1])
+    t = t.flatten(2).transpose(1, 2)
+    cls = g("cls_token").expand(b, -1, -1)
+    t = torch.cat([cls, t], dim=1) + g("pos_embed")
+    for i in range(depth):
+        bp = f"blocks.{i}."
+        h = F.layer_norm(t, t.shape[-1:], g(bp + "norm1.weight"),
+                         g(bp + "norm1.bias"), eps)
+        B, N, D = h.shape
+        qkv = F.linear(h, g(bp + "attn.qkv.weight"), g(bp + "attn.qkv.bias"))
+        qkv = qkv.reshape(B, N, 3, n_heads, D // n_heads).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        a = (q @ k.transpose(-2, -1)) * (D // n_heads) ** -0.5
+        a = a.softmax(-1)
+        h = (a @ v).transpose(1, 2).reshape(B, N, D)
+        t = t + F.linear(h, g(bp + "attn.proj.weight"), g(bp + "attn.proj.bias"))
+        h = F.layer_norm(t, t.shape[-1:], g(bp + "norm2.weight"),
+                         g(bp + "norm2.bias"), eps)
+        h = F.linear(F.gelu(F.linear(h, g(bp + "mlp.fc1.weight"),
+                                     g(bp + "mlp.fc1.bias"))),
+                     g(bp + "mlp.fc2.weight"), g(bp + "mlp.fc2.bias"))
+        t = t + h
+    return F.layer_norm(t, t.shape[-1:], g("norm.weight"), g("norm.bias"), eps)
+
+
+def make_vit_state_dict(rng, depth, dim, heads, patch, grid, prefix=""):
+    sd = {}
+    r = lambda *s: rng.randn(*s).astype(np.float32) * 0.05
+    sd[prefix + "patch_embed.proj.weight"] = r(dim, 3, patch, patch)
+    sd[prefix + "patch_embed.proj.bias"] = r(dim)
+    sd[prefix + "cls_token"] = r(1, 1, dim)
+    sd[prefix + "pos_embed"] = r(1, grid * grid + 1, dim)
+    for i in range(depth):
+        bp = prefix + f"blocks.{i}."
+        sd[bp + "norm1.weight"] = 1 + r(dim)
+        sd[bp + "norm1.bias"] = r(dim)
+        sd[bp + "attn.qkv.weight"] = r(3 * dim, dim)
+        sd[bp + "attn.qkv.bias"] = r(3 * dim)
+        sd[bp + "attn.proj.weight"] = r(dim, dim)
+        sd[bp + "attn.proj.bias"] = r(dim)
+        sd[bp + "norm2.weight"] = 1 + r(dim)
+        sd[bp + "norm2.bias"] = r(dim)
+        sd[bp + "mlp.fc1.weight"] = r(4 * dim, dim)
+        sd[bp + "mlp.fc1.bias"] = r(4 * dim)
+        sd[bp + "mlp.fc2.weight"] = r(dim, 4 * dim)
+        sd[bp + "mlp.fc2.bias"] = r(dim)
+    sd[prefix + "norm.weight"] = 1 + r(dim)
+    sd[prefix + "norm.bias"] = r(dim)
+    return sd
+
+
+def test_vit_conversion_parity(rng):
+    depth, dim, heads, patch, grid = 2, 32, 2, 8, 4
+    sd = make_vit_state_dict(rng, depth, dim, heads, patch, grid)
+    params = jax.tree.map(jnp.asarray, convert_vit(sd, depth=depth))
+    cfg = ViTConfig(patch_size=patch, embed_dim=dim, depth=depth,
+                    n_heads=heads, pos_grid=grid)
+
+    x = rng.randn(2, 32, 32, 3).astype(np.float32)
+    ours = vit_apply(params, jnp.asarray(x), cfg, all_layers=False)
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    theirs = torch_vit_forward(sd, xt, depth, heads)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
+                               atol=1e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# MaskFormer decoder conversion
+# ---------------------------------------------------------------------------
+
+def test_maskformer_conversion_parity(rng):
+    depth, dim, heads, patch, grid = 2, 32, 2, 8, 4
+    L, Q = 2, 5
+    sd = make_vit_state_dict(rng, depth, dim, heads, patch, grid,
+                             prefix="encoder.")
+    r = lambda *s: rng.randn(*s).astype(np.float32) * 0.05
+    for i in range(L):
+        lp = f"decoder.layers.{i}"
+        for attn in ("self_attn", "multihead_attn"):
+            sd[f"{lp}.{attn}.in_proj_weight"] = r(3 * dim, dim)
+            sd[f"{lp}.{attn}.in_proj_bias"] = r(3 * dim)
+            sd[f"{lp}.{attn}.out_proj.weight"] = r(dim, dim)
+            sd[f"{lp}.{attn}.out_proj.bias"] = r(dim)
+        sd[f"{lp}.linear1.weight"] = r(4 * dim, dim)
+        sd[f"{lp}.linear1.bias"] = r(4 * dim)
+        sd[f"{lp}.linear2.weight"] = r(dim, 4 * dim)
+        sd[f"{lp}.linear2.bias"] = r(dim)
+        for n in ("norm1", "norm2", "norm3"):
+            sd[f"{lp}.{n}.weight"] = 1 + r(dim)
+            sd[f"{lp}.{n}.bias"] = r(dim)
+    sd["decoder.norm.weight"] = 1 + r(dim)
+    sd["decoder.norm.bias"] = r(dim)
+    sd["query_embed"] = r(Q, dim)
+    sd["ffn.layers.0.weight"] = r(dim, dim)
+    sd["ffn.layers.0.bias"] = r(dim)
+    sd["ffn.layers.1.weight"] = r(dim, dim)
+    sd["ffn.layers.1.bias"] = r(dim)
+    sd["ffn.layers.2.weight"] = r(1, dim)
+    sd["ffn.layers.2.bias"] = r(1)
+
+    params = jax.tree.map(jnp.asarray,
+                          convert_maskformer(sd, n_decoder_layers=L,
+                                             depth=depth))
+    mcfg = MaskFormerConfig(
+        n_queries=Q, n_decoder_layers=L,
+        vit=ViTConfig(patch_size=patch, embed_dim=dim, depth=depth,
+                      n_heads=heads, pos_grid=grid))
+    x = rng.randn(1, 32, 32, 3).astype(np.float32)
+    out = maskformer_apply(params, jnp.asarray(x), mcfg)
+
+    # torch twin: encoder -> decoder (reference forward_post semantics) ->
+    # pixel decoder -> heads
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    tokens = torch_vit_forward(sd, xt, depth, heads, prefix="encoder.")
+    mem = tokens[:, 1:]                                        # [1, N, D]
+    g = lambda k: torch.from_numpy(sd[k])
+
+    def mha(prefix, q, k, v):
+        return F.multi_head_attention_forward(
+            q.transpose(0, 1), k.transpose(0, 1), v.transpose(0, 1),
+            dim, heads, g(f"{prefix}.in_proj_weight"),
+            g(f"{prefix}.in_proj_bias"), None, None, False, 0.0,
+            g(f"{prefix}.out_proj.weight"), g(f"{prefix}.out_proj.bias"),
+            need_weights=False)[0].transpose(0, 1)
+
+    qpos = g("query_embed")[None].expand(1, -1, -1)
+    tgt = torch.zeros_like(qpos)
+    inter = []
+    for i in range(L):
+        lp = f"decoder.layers.{i}"
+        qk = tgt + qpos
+        tgt = tgt + mha(f"{lp}.self_attn", qk, qk, tgt)
+        tgt = F.layer_norm(tgt, (dim,), g(f"{lp}.norm1.weight"),
+                           g(f"{lp}.norm1.bias"), 1e-5)
+        tgt = tgt + mha(f"{lp}.multihead_attn", tgt + qpos, mem, mem)
+        tgt = F.layer_norm(tgt, (dim,), g(f"{lp}.norm2.weight"),
+                           g(f"{lp}.norm2.bias"), 1e-5)
+        h = F.relu(F.linear(tgt, g(f"{lp}.linear1.weight"),
+                            g(f"{lp}.linear1.bias")))
+        tgt = tgt + F.linear(h, g(f"{lp}.linear2.weight"),
+                             g(f"{lp}.linear2.bias"))
+        tgt = F.layer_norm(tgt, (dim,), g(f"{lp}.norm3.weight"),
+                           g(f"{lp}.norm3.bias"), 1e-5)
+        inter.append(F.layer_norm(tgt, (dim,), g("decoder.norm.weight"),
+                                  g("decoder.norm.bias"), 1e-5))
+    queries = torch.stack(inter, dim=1)                        # [1, L, Q, D]
+
+    up = F.interpolate(mem.transpose(1, 2).reshape(1, dim, 4, 4),
+                       scale_factor=2, mode="bilinear")
+    masks = torch.sigmoid(torch.einsum("blqd,bdhw->blqhw", queries, up))
+
+    h = queries
+    for i, act in ((0, True), (1, True), (2, False)):
+        h = F.linear(h, g(f"ffn.layers.{i}.weight"), g(f"ffn.layers.{i}.bias"))
+        if act:
+            h = F.relu(h)
+    objectness = torch.sigmoid(h)
+
+    np.testing.assert_allclose(np.asarray(out["mask_pred"]), masks.numpy(),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["objectness"]),
+                               objectness.numpy(), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# ResNet-50 conversion (vs torchvision, normal + feature parity)
+# ---------------------------------------------------------------------------
+
+def test_resnet50_conversion_parity():
+    tv = pytest.importorskip("torchvision")
+    model = tv.models.resnet50(weights=None)
+    model.eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_resnet50(sd))
+
+    x = np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32)
+    ours = resnet50_apply(params, jnp.asarray(x), dilate_scale=None)
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        h = model.maxpool(model.relu(model.bn1(model.conv1(xt))))
+        f2 = model.layer1(h)
+        f5 = model.layer4(model.layer3(model.layer2(f2)))
+    np.testing.assert_allclose(
+        np.asarray(ours["res2"]).transpose(0, 3, 1, 2), f2.numpy(),
+        atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(ours["res5"]).transpose(0, 3, 1, 2), f5.numpy(),
+        atol=1e-2, rtol=1e-2)
+
+
+def test_resnet50_dilated_output_stride():
+    params_rng = jax.random.key(0)
+    from sod_tpu.models.resnet import resnet50_init
+
+    params = resnet50_init(params_rng)
+    x = jnp.zeros((1, 64, 64, 3))
+    out = resnet50_apply(params, x, dilate_scale=8)
+    assert out["res5"].shape[1] == 64 // 8      # stride 8, not 32
+    out = resnet50_apply(params, x, dilate_scale=None)
+    assert out["res5"].shape[1] == 64 // 32

@@ -1,0 +1,132 @@
+"""End-to-end train/eval smoke over synthetic fixtures (the reference's
+``--debug`` 1-batch dry-run workflow, SURVEY §4(e)) + checkpoint/resume."""
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from sod_tpu.config import Config
+from sod_tpu.models.maskformer import MaskFormerConfig, maskformer_init
+from sod_tpu.models.vit import ViTConfig
+from sod_tpu.ops import rle as rle_codec
+from sod_tpu.train import Trainer, restore_checkpoint
+from sod_tpu.train.evaluator import Evaluator
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ws")
+    rng = np.random.RandomState(0)
+    duts = root / "data" / "DUTS"
+    for sub in ("DUTS-TR-Image", "DUTS-TE-Image", "DUTS-TE-Mask"):
+        (duts / sub).mkdir(parents=True)
+    pseudo = {}
+    for i in range(8):
+        name = f"tr_{i:03d}.jpg"
+        img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(duts / "DUTS-TR-Image" / name)
+        mask = np.zeros((64, 64), np.uint8)
+        mask[10 + i:50, 12:52] = 1
+        pseudo[name] = rle_codec.encode(mask)
+    for i in range(5):
+        img = (rng.rand(56 + 6 * i, 60 + 4 * i, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(duts / "DUTS-TE-Image" / f"te_{i}.jpg")
+        gt = np.zeros(img.shape[:2], np.uint8)
+        gt[8:40, 9:45] = 255
+        Image.fromarray(gt).save(duts / "DUTS-TE-Mask" / f"te_{i}.png")
+    fp = root / "pseudo.json"
+    with open(fp, "w") as f:
+        json.dump(pseudo, f)
+    return root
+
+
+def tiny_setup(root, **over):
+    cfg = Config(
+        dir_ckpt=str(root / "ckpt"),
+        dir_dataset=str(root / "data"),
+        pseudo_masks_fp=str(root / "pseudo.json"),
+        train_image_size=64,
+        eval_image_size=64,
+        batch_size=4,
+        num_workers=2,
+        max_gt_masks=2,
+        compute_dtype="float32",
+        use_pallas_attention=False,
+        benchmarks=["duts"],
+        n_epochs=1,
+        **over,
+    )
+    mcfg = MaskFormerConfig(
+        n_queries=4, n_decoder_layers=2,
+        use_binary_classifier=cfg.use_binary_classifier,
+        vit=ViTConfig(patch_size=8, embed_dim=32, depth=2, n_heads=2,
+                      pos_grid=8))
+    return cfg, mcfg
+
+
+def test_train_one_epoch_and_eval(workspace):
+    cfg, mcfg = tiny_setup(workspace)
+    trainer = Trainer(cfg, mcfg=mcfg)
+    em = trainer._train_epoch(1)
+    assert np.isfinite(em["avg_loss"])
+    assert em["avg_dice_loss"] > 0
+    assert os.path.isdir(os.path.join(trainer.dir_ckpt, "latest_model"))
+    assert os.path.exists(os.path.join(trainer.dir_ckpt, "config.json"))
+
+    bench = trainer._evaluate(1)
+    assert "iou (DUTS)" in bench
+    assert 0.0 <= bench["iou (DUTS)"] <= 1.0
+    assert 0.0 <= bench["s_measure (DUTS)"] <= 1.0
+    assert bench["iou_ub (DUTS)"] >= bench["iou (DUTS)"] - 1e-6
+    # best-model checkpoint on first improvement
+    assert os.path.isdir(os.path.join(trainer.dir_ckpt, "best_model_duts"))
+    # CSV written with reference header
+    csv = os.path.join(trainer.dir_ckpt, "eval", "duts", "01",
+                       "metrics_duts.txt")
+    header = open(csv).readline()
+    assert header.startswith("iou,pixel_acc,f_score,f_max,f_mean,mae,")
+
+
+def test_checkpoint_restore_roundtrip(workspace):
+    cfg, mcfg = tiny_setup(workspace, suffix="ckpt")
+    trainer = Trainer(cfg, mcfg=mcfg)
+    trainer._train_epoch(1)
+    restored = restore_checkpoint(
+        os.path.join(trainer.dir_ckpt, "latest_model"))
+    assert restored["epoch"] == 1
+    flat_now = jax.tree.leaves(trainer.params)
+    flat_saved = jax.tree.leaves(restored["params"])
+    assert len(flat_now) == len(flat_saved)
+    for a, b in zip(flat_now, flat_saved):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert "opt_state" in restored
+
+
+def test_train_loss_decreases(workspace):
+    """A few steps on a fixed batch must reduce the loss (sanity that
+    gradients flow through the whole model)."""
+    cfg, mcfg = tiny_setup(workspace, suffix="dec")
+    cfg = cfg.replace(lr=1e-3)
+    from sod_tpu.train.optim import build_optimizer
+    from sod_tpu.train.step import make_train_step
+
+    params = maskformer_init(jax.random.key(0), mcfg)
+    tx = build_optimizer(cfg, n_iters_per_epoch=1000)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, tx, mcfg)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": rng.rand(4, 64, 64, 3).astype(np.float32),
+        "gt_masks": (rng.rand(4, 2, 64, 64) > 0.6).astype(np.float32),
+        "gt_valid": np.ones((4, 2), bool),
+        "labels": np.array([1, 1, 2, 2], np.int32),
+    }
+    losses = []
+    for _ in range(8):
+        params, opt_state, m = step(params, opt_state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
