@@ -1,0 +1,112 @@
+"""Clustering backends for pseudo-mask generation.
+
+The reference imports ``SpectralClustering`` / ``KMeansClustering`` from a
+``clusterings`` module whose source is missing from the repo (SURVEY §0.2;
+imported by ``main`` and ``datasets/mask_generator`` bytecode, upstream
+backed by faiss-gpu, ``README.md:68``).  Rebuilt here from the paper's
+description ("Unsupervised Salient Object Detection with Spectral Cluster
+Voting": normalized-cut spectral clustering over patch-feature affinities):
+
+* affinity = thresholded cosine similarity of L2-normalized features;
+* normalized Laplacian ``L_sym = I - D^-1/2 A D^-1/2``;
+* the k smallest eigenvectors via dense ``jnp.linalg.eigh`` — at N <= ~800
+  patch nodes a dense eigensolve is tiny on the MXU (SURVEY §2 native
+  table), no sparse/faiss machinery needed;
+* row-normalized spectral embedding clustered by seeded k-means++ /
+  Lloyd iterations (``lax.while/fori`` loops, fully jit-able and
+  vmappable over a batch of images).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _kmeans_pp_init(rng: jax.Array, x: jax.Array, k: int) -> jax.Array:
+    """k-means++ seeding (greedy max-min after the first random pick)."""
+    n = x.shape[0]
+    first = jax.random.randint(rng, (), 0, n)
+    centers = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(x[first])
+
+    def body(i, carry):
+        centers, mind = carry
+        d = jnp.sum((x - centers[i - 1]) ** 2, axis=-1)
+        mind = jnp.minimum(mind, d)
+        nxt = jnp.argmax(mind)
+        centers = centers.at[i].set(x[nxt])
+        return centers, mind
+
+    centers, _ = jax.lax.fori_loop(
+        1, k, body, (centers, jnp.full((n,), jnp.inf, x.dtype)))
+    return centers
+
+
+def kmeans(x: jax.Array, k: int, seed: int = 0,
+           n_iters: int = 50) -> jax.Array:
+    """Lloyd's algorithm; returns labels [N].  jit-able (static k)."""
+    x = x.astype(jnp.float32)
+    rng = jax.random.key(seed)
+    centers = _kmeans_pp_init(rng, x, k)
+
+    def step(_, centers):
+        d = (jnp.sum(x * x, -1, keepdims=True)
+             - 2.0 * x @ centers.T
+             + jnp.sum(centers * centers, -1)[None, :])
+        labels = jnp.argmin(d, axis=-1)
+        one_hot = jax.nn.one_hot(labels, k, dtype=x.dtype)       # [N, k]
+        counts = one_hot.sum(0)                                   # [k]
+        sums = one_hot.T @ x                                      # [k, D]
+        new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts, 1)[:, None],
+                        centers)
+        return new
+
+    centers = jax.lax.fori_loop(0, n_iters, step, centers)
+    d = (jnp.sum(x * x, -1, keepdims=True) - 2.0 * x @ centers.T
+         + jnp.sum(centers * centers, -1)[None, :])
+    return jnp.argmin(d, axis=-1)
+
+
+def spectral_cluster(features: jax.Array, k: int, seed: int = 0,
+                     n_kmeans_iters: int = 50) -> jax.Array:
+    """Normalized-cut spectral clustering of [N, D] features -> labels [N]."""
+    f = features.astype(jnp.float32)
+    f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+    a = f @ f.T                                   # cosine affinity
+    a = jnp.maximum(a, 0.0)                       # threshold negatives
+    n = a.shape[0]
+    a = a * (1.0 - jnp.eye(n)) + jnp.eye(n)       # unit self-affinity
+
+    deg = a.sum(axis=-1)
+    d_inv_sqrt = jax.lax.rsqrt(jnp.maximum(deg, 1e-12))
+    l_sym = jnp.eye(n) - (d_inv_sqrt[:, None] * a * d_inv_sqrt[None, :])
+
+    eigvals, eigvecs = jnp.linalg.eigh(l_sym)     # ascending
+    emb = eigvecs[:, :k]                          # k smallest
+    emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True),
+                            1e-12)
+    return kmeans(emb, k, seed=seed, n_iters=n_kmeans_iters)
+
+
+class KMeansClustering:
+    """Reference-API shim (the missing module's class name)."""
+
+    def __init__(self, use_gpu: bool = True, n_samples: Optional[int] = None):
+        self.use_gpu = use_gpu      # kept for config parity; XLA decides
+        self.n_samples = n_samples
+
+    def __call__(self, features, k: int, seed: int = 0):
+        return kmeans(jnp.asarray(features), k, seed=seed)
+
+
+class SpectralClustering:
+    """Reference-API shim (the missing module's class name)."""
+
+    def __init__(self, use_gpu: bool = True, n_samples: Optional[int] = None):
+        self.use_gpu = use_gpu
+        self.n_samples = n_samples
+
+    def __call__(self, features, k: int, seed: int = 0):
+        return spectral_cluster(jnp.asarray(features), k, seed=seed)

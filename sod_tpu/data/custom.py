@@ -13,10 +13,15 @@ from sod_tpu.data.augment import normalize, resize_pil
 
 class CustomDataset:
     def __init__(self, image_paths: List[str],
-                 image_size: Optional[int] = None):
+                 image_size: Optional[int] = None, square: bool = False):
+        """:param square: resize to exactly (image_size, image_size) instead
+        of shorter-edge (needed for fixed-shape batched feature extraction;
+        the DUTS pseudo-masks are stored at the square train resolution,
+        ref ``datasets/duts.py:117-119``)."""
         assert len(image_paths) > 0, "No image paths are given."
         self.image_paths = image_paths
         self.image_size = image_size
+        self.square = square
 
     def __len__(self) -> int:
         return len(self.image_paths)
@@ -25,12 +30,18 @@ class CustomDataset:
         p = self.image_paths[index]
         img = Image.open(p).convert("RGB")
         if self.image_size is not None:
-            # torchvision Resize(int): shorter edge -> image_size
-            w, h = img.size
-            if h <= w:
-                size = (self.image_size, max(1, round(w * self.image_size / h)))
+            if self.square:
+                img = resize_pil(img, (self.image_size, self.image_size),
+                                 "bilinear")
             else:
-                size = (max(1, round(h * self.image_size / w)), self.image_size)
-            img = resize_pil(img, size, "bilinear")
+                # torchvision Resize(int): shorter edge -> image_size
+                w, h = img.size
+                if h <= w:
+                    size = (self.image_size,
+                            max(1, round(w * self.image_size / h)))
+                else:
+                    size = (max(1, round(h * self.image_size / w)),
+                            self.image_size)
+                img = resize_pil(img, size, "bilinear")
         return {"image": normalize(np.asarray(img, np.float32)),
                 "filename": os.path.basename(p), "p_img": p}

@@ -1,0 +1,190 @@
+"""Spectral-cluster-voting pseudo-mask generation (ref
+``datasets/mask_generator.py`` bytecode + missing ``clusterings`` module;
+behavioural spec in SURVEY §2.8 / §3.4).
+
+Pipeline per image:
+
+1. extract self-supervised features for every requested backbone
+   (``dino`` -> ViT-S layer-12 patch tokens; ``mocov2``/``swav`` ->
+   dilated-8 ResNet-50 res5 features);
+2. bilinear-upsample the feature grid by ``scale_factor`` (ref
+   ``configs/...yaml:14``);
+3. for every k in ``cluster_sizes`` (live config [2, 3, 4]): spectral (or
+   k-means) clustering of the feature nodes -> per-cluster binary masks,
+   nearest-upsampled to the image size;
+4. pool candidates from all (feature_type x k) clusterings, drop
+   degenerate ones (``filter_masks``: full-edge spans / extreme sizes);
+5. VOTE: pairwise IoU table over the surviving candidates; the winner is
+   the candidate with the highest total agreement (the paper's "spectral
+   cluster voting");
+6. COCO-RLE-encode the winner -> ``{filename: rle}`` JSON (consumed by
+   ``DUTSDataset``, ref ``datasets/duts.py:39-42``).
+
+TPU mapping: feature extraction and clustering (affinity eigensolve +
+k-means) run jitted per batch; filtering/voting/RLE run on host NumPy.
+"""
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sod_tpu.data.clusterings import kmeans, spectral_cluster
+from sod_tpu.data.custom import CustomDataset
+from sod_tpu.data.loader import DataLoader
+from sod_tpu.ops import rle as rle_codec
+from sod_tpu.ops.resize import interpolate_bilinear, interpolate_nearest
+from sod_tpu.utils.misc import filter_masks
+
+
+def vote_mask(candidates: np.ndarray) -> int:
+    """Index of the candidate agreeing most with the others (pairwise-IoU
+    voting, ref mask_generator pyc ``vote_mask``)."""
+    n = len(candidates)
+    if n == 1:
+        return 0
+    flat = candidates.reshape(n, -1).astype(bool)
+    inter = (flat[:, None] & flat[None, :]).sum(-1)
+    union = (flat[:, None] | flat[None, :]).sum(-1)
+    iou = inter / np.maximum(union, 1)
+    np.fill_diagonal(iou, 0.0)
+    return int(np.argmax(iou.sum(-1)))
+
+
+class MaskGenerator:
+    """ref ``MaskGenerator.__init__(cluster_sizes, cluster_type,
+    feature_types, use_gpu, device)`` (mask_generator pyc)."""
+
+    def __init__(
+        self,
+        cluster_sizes: Sequence[int] = (2, 3, 4),
+        cluster_type: str = "spectral",
+        feature_types: Sequence[str] = ("mocov2", "swav", "dino"),
+        use_gpu: bool = True,
+        device=None,
+        patch_size: int = 16,
+        image_size: int = 224,
+        scale_factor: int = 2,
+        batch_size: int = 16,
+        seed: int = 0,
+        params: Optional[Dict[str, dict]] = None,
+    ):
+        assert cluster_type in ("spectral", "k-means")
+        self.cluster_sizes = list(cluster_sizes)
+        self.cluster_type = cluster_type
+        self.feature_types = list(feature_types)
+        self.patch_size = patch_size
+        self.image_size = image_size
+        self.scale_factor = scale_factor
+        self.batch_size = batch_size
+        self.seed = seed
+        self._params = params or {}
+        self._extractors = {}
+
+    # ------------------------------------------------------------------
+    def _get_params(self, feature_type: str):
+        """Backbone params: user-provided (converted checkpoints) or random
+        (ref downloads DINO/MoCo/SwAV weights, utils/misc.py:190-246)."""
+        if feature_type in self._params:
+            return self._params[feature_type]
+        rng = jax.random.key(self.seed)
+        if feature_type == "dino":
+            from sod_tpu.models.vit import vit_init, vit_small
+
+            cfg = vit_small(patch_size=self.patch_size)
+            self._params[feature_type] = vit_init(rng, cfg)
+        else:
+            from sod_tpu.models.resnet import resnet50_init
+
+            self._params[feature_type] = resnet50_init(rng)
+        return self._params[feature_type]
+
+    def _extract_fn(self, feature_type: str):
+        if feature_type in self._extractors:
+            return self._extractors[feature_type]
+        s = self.scale_factor
+
+        if feature_type == "dino":
+            from sod_tpu.models.vit import vit_apply, vit_small
+
+            cfg = vit_small(patch_size=self.patch_size)
+            grid = self.image_size // self.patch_size
+
+            @jax.jit
+            def extract(params, x):
+                tokens = vit_apply(params, x, cfg, all_layers=False)
+                feats = tokens[:, 1:, :]                    # layer12 patches
+                b, n, d = feats.shape
+                f = feats.reshape(b, grid, grid, d).transpose(0, 3, 1, 2)
+                f = interpolate_bilinear(f, grid * s, grid * s)
+                return f.transpose(0, 2, 3, 1)              # [B, G', G', D]
+        else:
+            from sod_tpu.models.resnet import resnet50_apply
+
+            @jax.jit
+            def extract(params, x):
+                f = resnet50_apply(params, x)["res5"]       # [B, h, w, C]
+                f = f.transpose(0, 3, 1, 2)
+                f = interpolate_bilinear(f, f.shape[-2] * s, f.shape[-1] * s)
+                return f.transpose(0, 2, 3, 1)
+
+        self._extractors[feature_type] = extract
+        return extract
+
+    def _cluster_fn(self, k: int):
+        cluster = (spectral_cluster if self.cluster_type == "spectral"
+                   else kmeans)
+        seed = self.seed
+
+        @jax.jit
+        def run(feats):                      # [B, G, G, D]
+            b, gh, gw, d = feats.shape
+            flat = feats.reshape(b, gh * gw, d)
+            labels = jax.vmap(lambda f: cluster(f, k, seed=seed))(flat)
+            return labels.reshape(b, gh, gw)
+
+        return run
+
+    # ------------------------------------------------------------------
+    def extract_candidate_masks(self, p_images: List[str]) -> Dict[str, np.ndarray]:
+        """filename -> [n_candidates, H, W] uint8 candidate stacks."""
+        per_image: Dict[str, List[np.ndarray]] = {}
+        for ft in self.feature_types:
+            params = self._get_params(ft)
+            extract = self._extract_fn(ft)
+            ds = CustomDataset(p_images, image_size=self.image_size,
+                               square=True)
+            loader = DataLoader(ds, batch_size=self.batch_size,
+                                shuffle=False, num_workers=4)
+            for samples in loader:
+                x = np.stack([s["image"] for s in samples])
+                feats = extract(params, jnp.asarray(x))
+                for k in self.cluster_sizes:
+                    labels = np.asarray(self._cluster_fn(k)(feats))  # [B,G,G]
+                    up = np.asarray(interpolate_nearest(
+                        jnp.asarray(labels[:, None].astype(np.float32)),
+                        self.image_size, self.image_size))[:, 0]
+                    for i, s in enumerate(samples):
+                        cands = [(up[i] == c).astype(np.uint8)
+                                 for c in range(k)]
+                        per_image.setdefault(s["filename"], []).extend(cands)
+        return {k: np.stack(v, 0) for k, v in per_image.items()}
+
+    # ------------------------------------------------------------------
+    def __call__(self, p_images: List[str]) -> Dict[str, dict]:
+        """Generate ``{filename: COCO-RLE}`` for a list of image paths."""
+        candidates = self.extract_candidate_masks(p_images)
+        out = {}
+        for filename, stack in candidates.items():
+            filtered, _ = filter_masks(stack, remove_long_masks=True,
+                                       remove_small_large_masks=True)
+            winner = filtered[vote_mask(filtered)]
+            out[filename] = rle_codec.encode(winner.astype(np.uint8))
+        return out
+
+    def dump(self, p_images: List[str], fp: str) -> None:
+        with open(fp, "w") as f:
+            json.dump(self(p_images), f)
