@@ -1,0 +1,66 @@
+"""Training entry point (ref ``main.py`` bytecode; README.md usage:
+``python main.py --config configs/duts-....yaml``).
+
+Flow (main pyc): yaml -> namespace merge, set_seeds, build maskformer,
+dataset, AdamW + poly scheduler, criterion, evaluator, experiment name,
+config.json dump, wandb init, Trainer(n_epochs).
+"""
+from __future__ import annotations
+
+import argparse
+
+from sod_tpu.config import define_experim_name, load_config
+from sod_tpu.utils.misc import set_seeds
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("sod-tpu train")
+    p.add_argument("--config", "-c", type=str, required=True)
+    p.add_argument("--debug", "-d", action="store_true")
+    p.add_argument("--gpu_id", type=int, default=0,
+                   help="kept for reference-CLI parity; device selection is "
+                        "JAX's")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--suffix", type=str, default=None)
+    p.add_argument("--p_state_dict", type=str, default=None,
+                   help="optional torch checkpoint to initialise from")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+    overrides = {"debug": args.debug}
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    if args.suffix is not None:
+        overrides["suffix"] = args.suffix
+    cfg = load_config(args.config, overrides)
+    set_seeds(cfg.seed)
+
+    params = None
+    if args.p_state_dict:
+        from sod_tpu.models.convert import convert_maskformer, load_torch_state_dict
+
+        sd = load_torch_state_dict(args.p_state_dict)
+        params = convert_maskformer(
+            sd, n_decoder_layers=cfg.n_decoder_layers,
+            use_binary_classifier=cfg.use_binary_classifier)
+        print(f"Pre-trained weights are loaded from {args.p_state_dict}")
+
+    import jax
+
+    from sod_tpu.parallel import make_mesh
+    from sod_tpu.train import Trainer
+
+    n_dev = args.n_devices or len(jax.devices())
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+
+    trainer = Trainer(cfg, params=params, mesh=mesh, debug=cfg.debug)
+    print(f"experiment: {define_experim_name(cfg)} -> {trainer.dir_ckpt}")
+    trainer(n_epochs=cfg.n_epochs)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,599 @@
+"""The SOD web application (ref ``app.py``, 4080 LoC).
+
+Full route surface rebuilt on the stdlib WSGI micro-framework
+(``sod_tpu.serving.web``): model inference, auth with email verification
+and OTP password reset, upload quotas and Stripe subscriptions, feedback,
+the admin analytics JSON APIs, diagnostics and static/template serving.
+Route names, JSON shapes and business rules follow the reference (cited
+per handler).
+"""
+from __future__ import annotations
+
+import datetime as dt
+import os
+import secrets
+import time
+from typing import Optional
+
+from sod_tpu.serving.db import (
+    Database,
+    check_password,
+    hash_password,
+    open_database,
+)
+from sod_tpu.serving.emailer import Emailer, TokenStore
+from sod_tpu.serving.payments import PLANS, SUBSCRIPTION_DAYS, PaymentProvider
+from sod_tpu.serving.web import (
+    App,
+    HTTPError,
+    Request,
+    Response,
+    jsonify,
+    login_required,
+    redirect,
+)
+
+MAX_CONTENT_LENGTH = 50 * 1024 * 1024          # ref app.py:154
+ALLOWED_EXTENSIONS = {"png", "jpg", "jpeg", "gif", "bmp", "webp"}
+FREE_TIER_UPLOADS = 3                          # ref app.py:2846-2870
+_TEMPLATES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "templates")
+
+
+def _allowed_file(filename: str) -> bool:
+    return ("." in filename
+            and filename.rsplit(".", 1)[1].lower() in ALLOWED_EXTENSIONS)
+
+
+def _dominant_color(data: bytes) -> str:
+    """ref ``app.py:2816-2829``: trivial dominant-color analysis stored as
+    the upload's "result"."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    try:
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+        img.thumbnail((64, 64))
+        mean = np.asarray(img, np.float32).mean(axis=(0, 1))
+        names = ["Red", "Green", "Blue"]
+        top = int(mean.argmax())
+        if mean[top] - np.delete(mean, top).max() < 15:
+            return "Mixed"
+        return names[top]
+    except Exception:
+        return "Mixed"
+
+
+def create_app(cfg=None, model_path: Optional[str] = None,
+               db: Optional[Database] = None,
+               upload_dir: Optional[str] = None,
+               load_model: bool = True,
+               secret_key: Optional[str] = None) -> App:
+    app = App(secret_key=secret_key or os.environ.get("SOD_SECRET_KEY",
+                                                      secrets.token_hex(16)),
+              static_dir=upload_dir or "static", static_url="/static/")
+    db = db or open_database()
+    emailer = Emailer()
+    tokens = TokenStore()
+    payments = PaymentProvider()
+    upload_dir = upload_dir or "static"
+    os.makedirs(os.path.join(upload_dir, "temp"), exist_ok=True)
+
+    # --- model service (ref app.py:349-376: degrade gracefully) -----------
+    inference = None
+    if load_model:
+        try:
+            from sod_tpu.serving.inference import SelfMaskInference
+
+            inference = SelfMaskInference(model_path=model_path, cfg=cfg)
+        except Exception as e:  # noqa: BLE001
+            print(f"model load failed, serving without inference: {e}")
+            inference = None
+    app.inference = inference
+    app.db = db
+    app.emailer = emailer
+    app.tokens = tokens
+    app.payments = payments
+
+    # ======================================================================
+    # pages
+    # ======================================================================
+    def _render(name: str) -> Response:
+        fp = os.path.join(_TEMPLATES, name)
+        with open(fp) as f:
+            return Response(f.read())
+
+    @app.route("/")
+    def index(req: Request):
+        return _render("landing.html")
+
+    @app.route("/dashboard")
+    def dashboard(req: Request):
+        if not req.session.get("user_id"):
+            return redirect("/")
+        return _render("dashboard.html")
+
+    @app.route("/admin")
+    def admin_page(req: Request):
+        if not req.session.get("admin_id"):
+            return redirect("/")
+        return _render("admin.html")
+
+    # ======================================================================
+    # auth (ref app.py:516-1702)
+    # ======================================================================
+    @app.route("/user_signup", methods=["POST"])
+    def user_signup(req: Request):
+        data = req.get_json() or req.form
+        name = data.get("name", "").strip()
+        email = data.get("email", "").strip().lower()
+        password = data.get("password", "")
+        phone = data.get("phone", "")
+        if not (name and email and password):
+            raise HTTPError(400, "name, email and password are required")
+        if db.query_one("SELECT User_ID FROM user_management WHERE Email=%s",
+                        (email,)):
+            raise HTTPError(400, "Email already registered")
+        token = tokens.create_signup(name, email, hash_password(password),
+                                     phone)
+        link = f"/verify_signup/{token}"
+        emailer.send(email, "Verify your SOD account",
+                     f"<p>Hi {name}, verify your account: "
+                     f"<a href='{link}'>{link}</a> (valid 10 minutes)</p>")
+        return jsonify({"success": True,
+                        "message": "Verification email sent",
+                        "verify_url": link})
+
+    @app.route("/verify_signup/<token>")
+    def verify_signup(req: Request, token: str):
+        data = tokens.pop_signup(token)
+        if data is None:
+            raise HTTPError(400, "Invalid or expired verification link")
+        user_id = db.execute(
+            "INSERT INTO user_management (Name, Email, Password, Phone) "
+            "VALUES (%s, %s, %s, %s)",
+            (data["name"], data["email"], data["password"], data["phone"]))
+        req.session["user_id"] = user_id
+        req.session["user_name"] = data["name"]
+        return jsonify({"success": True, "user_id": user_id,
+                        "message": "Account verified"})
+
+    @app.route("/user_login", methods=["POST"])
+    def user_login(req: Request):
+        data = req.get_json() or req.form
+        email = data.get("email", "").strip().lower()
+        password = data.get("password", "")
+        row = db.query_one(
+            "SELECT * FROM user_management WHERE Email=%s", (email,))
+        if not row or not check_password(row["Password"] or "", password):
+            raise HTTPError(401, "Invalid email or password")
+        req.session["user_id"] = row["User_ID"]
+        req.session["user_name"] = row["Name"]
+        return jsonify({"success": True, "user_id": row["User_ID"],
+                        "name": row["Name"]})
+
+    @app.route("/admin_login", methods=["POST"])
+    def admin_login(req: Request):
+        """ref app.py:1636-1696: fixed-credential admin that self-inserts
+        into the admin table on first login."""
+        data = req.get_json() or req.form
+        email = data.get("email", "").strip().lower()
+        password = data.get("password", "")
+        expect_email = os.environ.get("SOD_ADMIN_EMAIL", "a@gmail.com")
+        expect_pw = os.environ.get("SOD_ADMIN_PASSWORD", "111")
+        if email != expect_email or password != expect_pw:
+            raise HTTPError(401, "Invalid admin credentials")
+        row = db.query_one("SELECT * FROM admin WHERE Email=%s", (email,))
+        if row is None:
+            admin_id = db.execute(
+                "INSERT INTO admin (Name, Email, Password, Salary) "
+                "VALUES (%s, %s, %s, %s)", ("Admin", email, password, 100000))
+        else:
+            admin_id = row["Admin_ID"]
+        req.session["admin_id"] = admin_id
+        return jsonify({"success": True, "admin_id": admin_id})
+
+    @app.route("/logout", methods=["GET", "POST"])
+    def logout(req: Request):
+        req.session.clear()
+        return jsonify({"success": True})
+
+    # --- OTP password reset (ref app.py:1035-1141) -------------------------
+    @app.route("/forgot_password", methods=["POST"])
+    def forgot_password(req: Request):
+        data = req.get_json() or req.form
+        email = data.get("email", "").strip().lower()
+        if not db.query_one(
+                "SELECT User_ID FROM user_management WHERE Email=%s",
+                (email,)):
+            raise HTTPError(404, "No account with this email")
+        otp = tokens.create_otp(email)
+        emailer.send(email, "Your SOD password reset code",
+                     f"<p>Your OTP is <b>{otp}</b> (valid 10 minutes)</p>")
+        return jsonify({"success": True, "message": "OTP sent"})
+
+    @app.route("/verify_otp", methods=["POST"])
+    def verify_otp(req: Request):
+        data = req.get_json() or req.form
+        ok = tokens.verify_otp(data.get("email", "").lower(),
+                               data.get("otp", ""))
+        if not ok:
+            raise HTTPError(400, "Invalid or expired OTP")
+        return jsonify({"success": True})
+
+    @app.route("/reset_password", methods=["POST"])
+    def reset_password(req: Request):
+        data = req.get_json() or req.form
+        email = data.get("email", "").lower()
+        if not tokens.verify_otp(email, data.get("otp", "")):
+            raise HTTPError(400, "Invalid or expired OTP")
+        tokens.consume_otp(email)
+        db.execute("UPDATE user_management SET Password=%s WHERE Email=%s",
+                   (hash_password(data.get("new_password", "")), email))
+        return jsonify({"success": True, "message": "Password updated"})
+
+    # ======================================================================
+    # uploads / quota / results (ref app.py:2831-3056)
+    # ======================================================================
+    def _active_subscription(user_id: int):
+        today = dt.date.today().isoformat()
+        return db.query_one(
+            "SELECT * FROM subscription WHERE User_ID=%s AND Status='Active' "
+            "AND (End_Date IS NULL OR End_Date>=%s) "
+            "ORDER BY Subscription_ID DESC", (user_id, today))
+
+    def _check_quota(user_id: int):
+        """Free tier: 3 uploads; else active subscription with remaining
+        upload budget (-1 / NULL = unlimited) (ref app.py:2846-2915)."""
+        sub = _active_subscription(user_id)
+        if sub is None:
+            used = db.scalar("SELECT COUNT(*) FROM image WHERE user_id=%s",
+                             (user_id,))
+            if used >= FREE_TIER_UPLOADS:
+                raise HTTPError(403, "Free tier limit reached — subscribe "
+                                     "to continue")
+            return None
+        limit = sub["Upload_Limit"]
+        if limit is not None and limit >= 0 and sub["Uploads_Used"] >= limit:
+            raise HTTPError(403, "Subscription upload limit reached")
+        return sub
+
+    @app.route("/save_image_info", methods=["POST"])
+    @login_required
+    def save_image_info(req: Request):
+        user_id = req.session["user_id"]
+        up = req.files.get("image") or req.files.get("file")
+        if up is None:
+            raise HTTPError(400, "No image uploaded")
+        if not _allowed_file(up.filename):
+            raise HTTPError(400, "File type not allowed")
+        if len(up.data) > MAX_CONTENT_LENGTH:
+            raise HTTPError(413, "File too large (max 50 MB)")
+        sub = _check_quota(user_id)
+
+        fname = f"{int(time.time())}_{os.path.basename(up.filename)}"
+        up.save(os.path.join(upload_dir, "temp", fname))
+        ext = up.filename.rsplit(".", 1)[1].lower()
+        image_id = db.execute(
+            "INSERT INTO image (uploaded_image, file_type, file_size, "
+            "user_id) VALUES (%s, %s, %s, %s)",
+            (fname, ext, len(up.data) // 1024, user_id))
+        result = (f"Dominant Color: {_dominant_color(up.data)}, "
+                  f"Type: {ext}, Size: {len(up.data) / 1024:.2f} KB")
+        db.execute("INSERT INTO result (Result_data, Image_ID, User_ID) "
+                   "VALUES (%s, %s, %s)", (result, image_id, user_id))
+        if sub is not None:
+            db.execute("UPDATE subscription SET Uploads_Used=Uploads_Used+1 "
+                       "WHERE Subscription_ID=%s", (sub["Subscription_ID"],))
+        return jsonify({"success": True, "image_id": image_id,
+                        "filename": fname, "result": result})
+
+    @app.route("/upload_image", methods=["POST"])
+    @login_required
+    def upload_image(req: Request):
+        return save_image_info(req)
+
+    # ======================================================================
+    # inference (ref app.py:3799-3920)
+    # ======================================================================
+    @app.route("/predict", methods=["POST"])
+    @login_required
+    def predict(req: Request):
+        if app.inference is None:
+            raise HTTPError(500, "Model not available")
+        up = req.files.get("image") or req.files.get("file")
+        if up is None:
+            raise HTTPError(400, "No image uploaded")
+        if not _allowed_file(up.filename):
+            raise HTTPError(400, "File type not allowed")
+        if len(up.data) > MAX_CONTENT_LENGTH:
+            raise HTTPError(413, "File too large (max 50 MB)")
+        from PIL import Image
+        import io
+
+        try:
+            Image.open(io.BytesIO(up.data)).verify()   # ref app.py:3855-3863
+        except Exception:
+            raise HTTPError(400, "Corrupted or invalid image file")
+        out = app.inference.predict(up.data)
+        out["success"] = True
+        return jsonify(out)
+
+    # ======================================================================
+    # payments (ref app.py:3060-3215)
+    # ======================================================================
+    @app.route("/create-checkout-session", methods=["POST"])
+    @login_required
+    def create_checkout(req: Request):
+        data = req.get_json() or req.form
+        plan = (data.get("plan") or "").lower()
+        if plan not in PLANS:
+            raise HTTPError(400, f"Unknown plan: {plan}")
+        session = payments.create_checkout_session(
+            plan, req.session["user_id"],
+            success_url="/payment-success", cancel_url="/dashboard")
+        return jsonify(session)
+
+    @app.route("/payment-success", methods=["GET", "POST"])
+    @login_required
+    def payment_success(req: Request):
+        sid = (req.query.get("session_id", [None])[0]
+               or (req.get_json() or {}).get("session_id"))
+        if not sid:
+            raise HTTPError(400, "session_id required")
+        confirmed = payments.confirm(sid)
+        if confirmed is None:
+            raise HTTPError(400, "Payment not completed")
+        plan = PLANS[confirmed["plan"]]
+        start = dt.date.today()
+        end = start + dt.timedelta(days=SUBSCRIPTION_DAYS)
+        sub_id = db.execute(
+            "INSERT INTO subscription (Plan_Type, Start_Date, End_Date, "
+            "Status, Upload_Limit, Uploads_Used, Amount_Paid, "
+            "Payment_Method, User_ID) VALUES (%s, %s, %s, 'Active', %s, 0, "
+            "%s, 'Stripe', %s)",
+            (plan["name"], start.isoformat(), end.isoformat(),
+             plan["upload_limit"], plan["price_usd"], confirmed["user_id"]))
+        return jsonify({"success": True, "subscription_id": sub_id,
+                        "plan": plan["name"], "valid_until": end.isoformat()})
+
+    @app.route("/get_payment_info")
+    @login_required
+    def get_payment_info(req: Request):
+        sub = _active_subscription(req.session["user_id"])
+        if sub is None:
+            used = db.scalar("SELECT COUNT(*) FROM image WHERE user_id=%s",
+                             (req.session["user_id"],))
+            return jsonify({"plan": "Free", "uploads_used": used,
+                            "upload_limit": FREE_TIER_UPLOADS})
+        return jsonify({"plan": sub["Plan_Type"],
+                        "uploads_used": sub["Uploads_Used"],
+                        "upload_limit": sub["Upload_Limit"],
+                        "valid_until": sub["End_Date"],
+                        "status": sub["Status"]})
+
+    # ======================================================================
+    # feedback (ref app.py:2666-2814)
+    # ======================================================================
+    @app.route("/submit_feedback", methods=["POST"])
+    @login_required
+    def submit_feedback(req: Request):
+        data = req.get_json() or req.form
+        rating = int(data.get("rating", 0))
+        if not 1 <= rating <= 5:
+            raise HTTPError(400, "rating must be 1-5")
+        fid = db.execute(
+            "INSERT INTO feedback (Rating, Feedback_Type, Feedback_Text, "
+            "User_ID) VALUES (%s, %s, %s, %s)",
+            (rating, data.get("type", "general"), data.get("text", ""),
+             req.session["user_id"]))
+        return jsonify({"success": True, "feedback_id": fid})
+
+    @app.route("/get_feedback")
+    @login_required
+    def get_feedback(req: Request):
+        rows = db.query(
+            "SELECT f.*, u.Name FROM feedback f LEFT JOIN user_management u "
+            "ON f.User_ID = u.User_ID ORDER BY f.Feedback_ID DESC")
+        return jsonify({"feedback": rows})
+
+    # ======================================================================
+    # admin analytics APIs (ref app.py:1705-2664, 3218-3797)
+    # ======================================================================
+    def admin_required(fn):
+        def wrapper(req: Request, *a, **kw):
+            if not req.session.get("admin_id"):
+                return jsonify({"error": "Admin authentication required"},
+                               status=401)
+            return fn(req, *a, **kw)
+
+        wrapper.__name__ = fn.__name__
+        return wrapper
+
+    @app.route("/api/data/<table>")
+    @admin_required
+    def api_table(req: Request, table: str):
+        try:
+            rows = db.table_rows(table)
+        except ValueError:
+            raise HTTPError(403, "Table not allowed")
+        return jsonify({"table": table, "rows": rows, "count": len(rows)})
+
+    @app.route("/api/overview")
+    @admin_required
+    def api_overview(req: Request):
+        """ref app.py:1821-1880: headline counts for the dashboard."""
+        return jsonify({
+            "total_users": db.scalar("SELECT COUNT(*) FROM user_management"),
+            "total_images": db.scalar("SELECT COUNT(*) FROM image"),
+            "total_results": db.scalar("SELECT COUNT(*) FROM result"),
+            "active_subscriptions": db.scalar(
+                "SELECT COUNT(*) FROM subscription WHERE Status='Active'"),
+            "total_revenue": db.scalar(
+                "SELECT COALESCE(SUM(Amount_Paid), 0) FROM subscription"),
+            "total_feedback": db.scalar("SELECT COUNT(*) FROM feedback"),
+            "average_rating": db.scalar(
+                "SELECT AVG(Rating) FROM feedback"),
+            "total_admins": db.scalar("SELECT COUNT(*) FROM admin"),
+        })
+
+    @app.route("/api/analytics/users")
+    @admin_required
+    def api_users(req: Request):
+        return jsonify({
+            "total": db.scalar("SELECT COUNT(*) FROM user_management"),
+            "with_subscriptions": db.scalar(
+                "SELECT COUNT(DISTINCT User_ID) FROM subscription"),
+            "with_uploads": db.scalar(
+                "SELECT COUNT(DISTINCT user_id) FROM image"),
+            "top_uploaders": db.query(
+                "SELECT u.Name, COUNT(i.image_id) AS uploads FROM "
+                "user_management u LEFT JOIN image i ON i.user_id=u.User_ID "
+                "GROUP BY u.User_ID ORDER BY uploads DESC LIMIT 10"),
+        })
+
+    @app.route("/api/analytics/images")
+    @admin_required
+    def api_images(req: Request):
+        return jsonify({
+            "total": db.scalar("SELECT COUNT(*) FROM image"),
+            "by_type": db.query(
+                "SELECT file_type, COUNT(*) AS count FROM image "
+                "GROUP BY file_type ORDER BY count DESC"),
+            "total_size_kb": db.scalar(
+                "SELECT COALESCE(SUM(file_size), 0) FROM image"),
+            "avg_size_kb": db.scalar("SELECT AVG(file_size) FROM image"),
+        })
+
+    @app.route("/api/analytics/results")
+    @admin_required
+    def api_results(req: Request):
+        return jsonify({
+            "total": db.scalar("SELECT COUNT(*) FROM result"),
+            "per_user": db.query(
+                "SELECT User_ID, COUNT(*) AS count FROM result "
+                "GROUP BY User_ID ORDER BY count DESC LIMIT 10"),
+        })
+
+    @app.route("/api/analytics/subscriptions")
+    @admin_required
+    def api_subscriptions(req: Request):
+        return jsonify({
+            "by_plan": db.query(
+                "SELECT Plan_Type, COUNT(*) AS count, "
+                "COALESCE(SUM(Amount_Paid), 0) AS revenue FROM subscription "
+                "GROUP BY Plan_Type"),
+            "by_status": db.query(
+                "SELECT Status, COUNT(*) AS count FROM subscription "
+                "GROUP BY Status"),
+            "total_revenue": db.scalar(
+                "SELECT COALESCE(SUM(Amount_Paid), 0) FROM subscription"),
+        })
+
+    @app.route("/api/analytics/feedback")
+    @admin_required
+    def api_feedback(req: Request):
+        return jsonify({
+            "total": db.scalar("SELECT COUNT(*) FROM feedback"),
+            "average_rating": db.scalar("SELECT AVG(Rating) FROM feedback"),
+            "by_rating": db.query(
+                "SELECT Rating, COUNT(*) AS count FROM feedback "
+                "GROUP BY Rating ORDER BY Rating"),
+            "by_type": db.query(
+                "SELECT Feedback_Type, COUNT(*) AS count FROM feedback "
+                "GROUP BY Feedback_Type"),
+        })
+
+    @app.route("/api/analytics/admins")
+    @admin_required
+    def api_admins(req: Request):
+        rows = db.query("SELECT Admin_ID, Name, Email, Salary FROM admin")
+        return jsonify({"total": len(rows), "admins": rows})
+
+    @app.route("/api/recent_activity")
+    @admin_required
+    def api_recent(req: Request):
+        """ref app.py:2617-2664: latest uploads/results/feedback."""
+        return jsonify({
+            "images": db.query(
+                "SELECT * FROM image ORDER BY image_id DESC LIMIT 10"),
+            "results": db.query(
+                "SELECT Result_ID, Result_data, Image_ID, User_ID FROM "
+                "result ORDER BY Result_ID DESC LIMIT 10"),
+            "feedback": db.query(
+                "SELECT * FROM feedback ORDER BY Feedback_ID DESC LIMIT 10"),
+        })
+
+    @app.route("/api/visualization/<kind>")
+    @admin_required
+    def api_visualization(req: Request, kind: str):
+        """Legacy viz endpoints (ref app.py:3218-3797) — map to analytics."""
+        mapping = {
+            "users": api_users, "images": api_images,
+            "results": api_results, "subscriptions": api_subscriptions,
+            "feedback": api_feedback, "overview": api_overview,
+        }
+        fn = mapping.get(kind)
+        if fn is None:
+            raise HTTPError(404, f"Unknown visualization: {kind}")
+        return fn(req)
+
+    @app.route("/hash_passwords", methods=["POST"])
+    @admin_required
+    def hash_passwords(req: Request):
+        """Migration helper (ref app.py:2524): hash any plaintext passwords."""
+        rows = db.query("SELECT User_ID, Password FROM user_management")
+        updated = 0
+        for r in rows:
+            pw = r["Password"] or ""
+            if pw and not pw.startswith(("scrypt:", "pbkdf2:")):
+                db.execute("UPDATE user_management SET Password=%s "
+                           "WHERE User_ID=%s", (hash_password(pw),
+                                                r["User_ID"]))
+                updated += 1
+        return jsonify({"success": True, "updated": updated})
+
+    # ======================================================================
+    # diagnostics (ref app.py:3973-4080)
+    # ======================================================================
+    @app.route("/test_db")
+    def test_db(req: Request):
+        return jsonify(db.health())
+
+    @app.route("/test_connection")
+    def test_connection(req: Request):
+        return jsonify({"status": "ok", "time": time.time(),
+                        "model_loaded": app.inference is not None,
+                        "payment_mode": payments.mode})
+
+    return app
+
+
+def main():  # pragma: no cover
+    """Run the dev server (ref ``app.run(debug=True, port=5000)``,
+    ``app.py:3926-3927``)."""
+    import argparse
+    from wsgiref.simple_server import make_server
+
+    p = argparse.ArgumentParser("sod-tpu serve")
+    p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--model", type=str, default=None)
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--no-model", action="store_true")
+    args = p.parse_args()
+
+    cfg = None
+    if args.config:
+        from sod_tpu.config import load_config
+
+        cfg = load_config(args.config)
+    app = create_app(cfg=cfg, model_path=args.model,
+                     load_model=not args.no_model)
+    print(f"serving on http://0.0.0.0:{args.port}")
+    make_server("0.0.0.0", args.port, app).serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

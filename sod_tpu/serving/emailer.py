@@ -1,0 +1,91 @@
+"""Email verification + OTP delivery (ref ``app.py:516-1141``: signup
+verification links with 10-minute expiry and the forgot-password OTP flow,
+sent as HTML mail via Gmail SMTP).
+
+Backends: SMTP when ``SOD_SMTP_HOST`` is configured; otherwise a console/
+capture backend so flows are testable offline.  Token/OTP bookkeeping is
+in-memory like the reference's ``signup_data`` dict (``app.py:516-520``).
+"""
+from __future__ import annotations
+
+import os
+import secrets
+import time
+from typing import Dict, List, Optional, Tuple
+
+TOKEN_TTL_SECONDS = 600       # 10 minutes (ref app.py:560-566)
+OTP_TTL_SECONDS = 600
+
+
+class Emailer:
+    def __init__(self):
+        self.sent: List[Dict] = []        # capture backend / audit log
+        self.host = os.environ.get("SOD_SMTP_HOST")
+        self.port = int(os.environ.get("SOD_SMTP_PORT", "587"))
+        self.user = os.environ.get("SOD_SMTP_USER", "")
+        self.password = os.environ.get("SOD_SMTP_PASSWORD", "")
+        self.sender = os.environ.get("SOD_MAIL_FROM", "noreply@sod.local")
+
+    def send(self, to: str, subject: str, html: str) -> None:
+        record = {"to": to, "subject": subject, "html": html,
+                  "time": time.time()}
+        self.sent.append(record)
+        if not self.host:
+            print(f"[email:console] to={to} subject={subject}")
+            return
+        import smtplib
+        from email.mime.text import MIMEText
+
+        msg = MIMEText(html, "html")
+        msg["Subject"] = subject
+        msg["From"] = self.sender
+        msg["To"] = to
+        with smtplib.SMTP(self.host, self.port) as s:
+            s.starttls()
+            if self.user:
+                s.login(self.user, self.password)
+            s.sendmail(self.sender, [to], msg.as_string())
+
+
+class TokenStore:
+    """In-memory pending-signup + OTP store (ref ``signup_data``,
+    ``app.py:516-592`` and the OTP flow ``app.py:1035-1141``)."""
+
+    def __init__(self):
+        self.pending_signups: Dict[str, Dict] = {}
+        self.otps: Dict[str, Tuple[str, float]] = {}
+
+    # --- signup verification ----------------------------------------------
+    def create_signup(self, name: str, email: str, password_hash: str,
+                      phone: str) -> str:
+        token = secrets.token_urlsafe(24)
+        self.pending_signups[token] = {
+            "name": name, "email": email, "password": password_hash,
+            "phone": phone, "expires": time.time() + TOKEN_TTL_SECONDS,
+        }
+        return token
+
+    def pop_signup(self, token: str) -> Optional[Dict]:
+        data = self.pending_signups.pop(token, None)
+        if data is None or data["expires"] < time.time():
+            return None
+        return data
+
+    # --- OTP ----------------------------------------------------------------
+    def create_otp(self, email: str) -> str:
+        otp = f"{secrets.randbelow(1000000):06d}"
+        self.otps[email] = (otp, time.time() + OTP_TTL_SECONDS)
+        return otp
+
+    def verify_otp(self, email: str, otp: str) -> bool:
+        stored = self.otps.get(email)
+        if stored is None:
+            return False
+        value, expires = stored
+        if expires < time.time():
+            self.otps.pop(email, None)
+            return False
+        return secrets.compare_digest(value, otp)
+
+    def consume_otp(self, email: str) -> None:
+        self.otps.pop(email, None)

@@ -1,0 +1,250 @@
+"""Serving layer: full product flows over the WSGI app (ref app.py routes)."""
+import io
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from sod_tpu.serving.app import create_app
+from sod_tpu.serving.db import Database, check_password, hash_password
+
+
+class Client:
+    """Minimal WSGI test client with cookie persistence."""
+
+    def __init__(self, app):
+        self.app = app
+        self.cookies = {}
+
+    def request(self, method, path, json_body=None, files=None, form=None):
+        body = b""
+        ctype = ""
+        if json_body is not None:
+            body = json.dumps(json_body).encode()
+            ctype = "application/json"
+        elif files or form:
+            boundary = "testboundary123"
+            parts = []
+            for k, v in (form or {}).items():
+                parts.append(
+                    f"--{boundary}\r\nContent-Disposition: form-data; "
+                    f"name=\"{k}\"\r\n\r\n{v}\r\n".encode())
+            for k, (fn, data) in (files or {}).items():
+                parts.append(
+                    f"--{boundary}\r\nContent-Disposition: form-data; "
+                    f"name=\"{k}\"; filename=\"{fn}\"\r\n"
+                    f"Content-Type: application/octet-stream\r\n\r\n".encode()
+                    + data + b"\r\n")
+            parts.append(f"--{boundary}--\r\n".encode())
+            body = b"".join(parts)
+            ctype = f"multipart/form-data; boundary={boundary}"
+
+        path_only, _, query = path.partition("?")
+        environ = {
+            "REQUEST_METHOD": method,
+            "PATH_INFO": path_only,
+            "QUERY_STRING": query,
+            "CONTENT_TYPE": ctype,
+            "CONTENT_LENGTH": str(len(body)),
+            "wsgi.input": io.BytesIO(body),
+            "HTTP_COOKIE": "; ".join(f"{k}={v}"
+                                     for k, v in self.cookies.items()),
+            "REMOTE_ADDR": "127.0.0.1",
+        }
+        captured = {}
+
+        def start_response(status, headers):
+            captured["status"] = int(status.split()[0])
+            captured["headers"] = headers
+            for k, v in headers:
+                if k == "Set-Cookie":
+                    name, _, rest = v.partition("=")
+                    self.cookies[name] = rest.split(";")[0]
+
+        chunks = self.app(environ, start_response)
+        raw = b"".join(chunks)
+        try:
+            data = json.loads(raw)
+        except Exception:
+            data = raw
+        return captured["status"], data
+
+    def get(self, path):
+        return self.request("GET", path)
+
+    def post(self, path, **kw):
+        return self.request("POST", path, **kw)
+
+
+@pytest.fixture()
+def client(tmp_path):
+    app = create_app(db=Database(":memory:"), load_model=False,
+                     upload_dir=str(tmp_path / "static"),
+                     secret_key="test-secret")
+    return Client(app)
+
+
+def _signup_and_login(client, email="u@example.com"):
+    st, r = client.post("/user_signup", json_body={
+        "name": "Test User", "email": email, "password": "pw123",
+        "phone": "123"})
+    assert st == 200 and r["success"]
+    st, r = client.get(r["verify_url"])
+    assert st == 200 and r["success"]
+    return r["user_id"]
+
+
+def test_signup_verify_login_flow(client):
+    uid = _signup_and_login(client)
+    assert uid == 1
+    # fresh client: log in with the password
+    c2 = Client(client.app)
+    st, r = c2.post("/user_login", json_body={"email": "u@example.com",
+                                              "password": "pw123"})
+    assert st == 200 and r["success"]
+    st, r = c2.post("/user_login", json_body={"email": "u@example.com",
+                                              "password": "wrong"})
+    assert st == 401
+
+
+def test_signup_duplicate_email(client):
+    _signup_and_login(client)
+    st, r = client.post("/user_signup", json_body={
+        "name": "x", "email": "u@example.com", "password": "pw"})
+    assert st == 400
+
+
+def test_predict_requires_auth(client):
+    st, r = client.post("/predict")
+    assert st == 401
+
+
+def test_otp_reset_flow(client):
+    _signup_and_login(client)
+    st, r = client.post("/forgot_password",
+                        json_body={"email": "u@example.com"})
+    assert st == 200
+    otp = client.app.tokens.otps["u@example.com"][0]
+    st, r = client.post("/verify_otp", json_body={"email": "u@example.com",
+                                                  "otp": "000000"})
+    assert st == 400 or not r.get("success", True) if otp != "000000" else True
+    st, r = client.post("/reset_password", json_body={
+        "email": "u@example.com", "otp": otp, "new_password": "newpw"})
+    assert st == 200 and r["success"]
+    c2 = Client(client.app)
+    st, r = c2.post("/user_login", json_body={"email": "u@example.com",
+                                              "password": "newpw"})
+    assert st == 200
+
+
+def _png_bytes():
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(20, 20, 3) * 255).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_upload_quota_and_subscription(client):
+    _signup_and_login(client)
+    png = _png_bytes()
+    # free tier: 3 uploads
+    for i in range(3):
+        st, r = client.post("/save_image_info",
+                            files={"image": (f"a{i}.png", png)})
+        assert st == 200 and r["success"], r
+    st, r = client.post("/save_image_info", files={"image": ("d.png", png)})
+    assert st == 403
+
+    # subscribe via the stub checkout
+    st, r = client.post("/create-checkout-session",
+                        json_body={"plan": "basic"})
+    assert st == 200 and r["id"].startswith("cs_stub_")
+    st, r = client.get(f"/payment-success?session_id={r['id']}")
+    assert st == 200 and r["plan"] == "Basic"
+
+    st, r = client.get("/get_payment_info")
+    assert r["plan"] == "Basic" and r["upload_limit"] == 100
+
+    # uploads allowed again, Uploads_Used bumps
+    st, r = client.post("/save_image_info", files={"image": ("e.png", png)})
+    assert st == 200
+    st, r = client.get("/get_payment_info")
+    assert r["uploads_used"] == 1
+
+
+def test_upload_rejects_bad_extension(client):
+    _signup_and_login(client)
+    st, r = client.post("/save_image_info",
+                        files={"image": ("evil.exe", b"xx")})
+    assert st == 400
+
+
+def test_feedback_flow(client):
+    _signup_and_login(client)
+    st, r = client.post("/submit_feedback",
+                        json_body={"rating": 4, "type": "general",
+                                   "text": "nice"})
+    assert st == 200 and r["success"]
+    st, r = client.post("/submit_feedback", json_body={"rating": 9})
+    assert st == 400
+    st, r = client.get("/get_feedback")
+    assert len(r["feedback"]) == 1
+    assert r["feedback"][0]["Rating"] == 4
+
+
+def test_admin_analytics(client):
+    _signup_and_login(client)
+    png = _png_bytes()
+    client.post("/save_image_info", files={"image": ("a.png", png)})
+    client.post("/submit_feedback", json_body={"rating": 5, "text": "good"})
+
+    admin = Client(client.app)
+    st, r = admin.get("/api/overview")
+    assert st == 401
+    st, r = admin.post("/admin_login", json_body={"email": "a@gmail.com",
+                                                  "password": "111"})
+    assert st == 200
+    st, r = admin.get("/api/overview")
+    assert st == 200
+    assert r["total_users"] == 1
+    assert r["total_images"] == 1
+    assert r["average_rating"] == 5.0
+
+    st, r = admin.get("/api/data/user_management")
+    assert st == 200
+    assert r["rows"][0]["Password"] == "********"   # masked
+    st, r = admin.get("/api/data/sqlite_master")
+    assert st == 403
+
+    for kind in ("users", "images", "results", "subscriptions", "feedback"):
+        st, r = admin.get(f"/api/analytics/{kind}")
+        assert st == 200, kind
+    st, r = admin.get("/api/recent_activity")
+    assert st == 200 and len(r["images"]) == 1
+
+
+def test_diagnostics(client):
+    st, r = client.get("/test_db")
+    assert st == 200 and r["ok"]
+    assert "user_management" in r["tables"]
+    st, r = client.get("/test_connection")
+    assert st == 200 and r["status"] == "ok"
+    assert r["model_loaded"] is False
+
+
+def test_pages_render(client):
+    st, body = client.get("/")
+    assert st == 200 and b"Salient Object Detection" in body
+    st, _ = client.get("/dashboard")
+    assert st == 302     # redirect when not logged in
+
+
+def test_password_hash_roundtrip():
+    h = hash_password("secret")
+    assert h.startswith("scrypt:32768:8:1$")
+    assert check_password(h, "secret")
+    assert not check_password(h, "wrong")
+    # werkzeug-format hash from the shipped dump verifies structurally
+    assert not check_password("scrypt:32768:8:1$abc$00ff", "x")
