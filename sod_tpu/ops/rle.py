@@ -23,9 +23,14 @@ from typing import Dict, List, Union
 
 import numpy as np
 
+from sod_tpu import native as _native
+
 
 def _counts_from_mask(mask: np.ndarray) -> np.ndarray:
     """Column-major run lengths, starting with a (possibly 0) run of 0s."""
+    nat = _native.counts_from_mask(np.asarray(mask, np.uint8))
+    if nat is not None:
+        return nat
     flat = np.asarray(mask, np.uint8).flatten(order="F")
     n = flat.size
     if n == 0:
@@ -43,6 +48,9 @@ def _mask_from_counts(counts: np.ndarray, h: int, w: int) -> np.ndarray:
     total = int(counts.sum())
     if total != h * w:
         raise ValueError(f"RLE counts sum {total} != h*w {h * w}")
+    nat = _native.mask_from_counts(counts, h, w)
+    if nat is not None:
+        return nat
     vals = np.zeros(len(counts), np.uint8)
     vals[1::2] = 1
     flat = np.repeat(vals, counts)
@@ -51,6 +59,9 @@ def _mask_from_counts(counts: np.ndarray, h: int, w: int) -> np.ndarray:
 
 def _leb_encode(counts: np.ndarray) -> str:
     """COCO string encoding (pycocotools rleToString)."""
+    nat = _native.string_from_counts(counts)
+    if nat is not None:
+        return nat
     out: List[str] = []
     prev2 = 0
     cnts = counts.tolist()
@@ -73,6 +84,9 @@ def _leb_decode(s: Union[str, bytes]) -> np.ndarray:
     """COCO string decoding (pycocotools rleFrString)."""
     if isinstance(s, bytes):
         s = s.decode("ascii")
+    nat = _native.counts_from_string(s)
+    if nat is not None:
+        return nat
     cnts: List[int] = []
     i = 0
     n = len(s)

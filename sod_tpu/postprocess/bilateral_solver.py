@@ -133,11 +133,20 @@ def _solve_device(target, confidence, pixel_to_vertex, neighbors,
 
 
 def fill_holes_and_select(binary: np.ndarray) -> np.ndarray:
-    """fill holes -> CCL -> second-largest region (ref :184-193)."""
-    from scipy import ndimage
+    """fill holes -> CCL -> second-largest region (ref :184-193).
 
-    filled = ndimage.binary_fill_holes(binary)
-    labeled, nr = ndimage.label(filled)
+    Uses the C++ native kernels (sod_tpu/native) when built; scipy.ndimage
+    otherwise — both 4-connectivity, identical results."""
+    from sod_tpu import native as _native
+
+    if _native.available():
+        filled = _native.fill_holes(binary.astype(np.uint8))
+        labeled, nr = _native.label(filled.astype(np.uint8))
+    else:
+        from scipy import ndimage
+
+        filled = ndimage.binary_fill_holes(binary)
+        labeled, nr = ndimage.label(filled)
     counts = np.bincount(labeled.reshape(-1), minlength=nr + 1)
     order = np.argsort(counts)
     if len(order) >= 2:
