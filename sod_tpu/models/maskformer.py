@@ -352,3 +352,79 @@ def maskformer_apply_canvas(params: dict, x: jax.Array,
             mlp_apply(params["ffn"], queries.astype(jnp.float32),
                       activation="relu"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Auxiliary components kept for capability parity
+# ---------------------------------------------------------------------------
+
+def positional_encoding_2d(n_dims: int, height: int, width: int) -> jax.Array:
+    """Static sin/cos 2-D positional grid (ref ``maskformer.py:75-97``;
+    declared but unused in the live forward path).  Returns
+    [n_dims, height, width]."""
+    if n_dims % 4 != 0:
+        raise ValueError(f"n_dims must be divisible by 4, got {n_dims}")
+    import math
+
+    d_model = n_dims // 2
+    div_term = jnp.exp(jnp.arange(0.0, d_model, 2.0)
+                       * -(math.log(10000.0) / d_model))
+    pos_w = jnp.arange(0.0, width)[:, None]
+    pos_h = jnp.arange(0.0, height)[:, None]
+    pe = jnp.zeros((n_dims, height, width))
+    sin_w = jnp.sin(pos_w * div_term).T[:, None, :]   # [d/4, 1, W]
+    cos_w = jnp.cos(pos_w * div_term).T[:, None, :]
+    pe = pe.at[0:d_model:2].set(jnp.broadcast_to(sin_w,
+                                                 (sin_w.shape[0], height, width)))
+    pe = pe.at[1:d_model:2].set(jnp.broadcast_to(cos_w,
+                                                 (cos_w.shape[0], height, width)))
+    sin_h = jnp.sin(pos_h * div_term).T[:, :, None]   # [d/4, H, 1]
+    cos_h = jnp.cos(pos_h * div_term).T[:, :, None]
+    pe = pe.at[d_model::2].set(jnp.broadcast_to(sin_h,
+                                                (sin_h.shape[0], height, width)))
+    pe = pe.at[d_model + 1::2].set(jnp.broadcast_to(cos_h,
+                                                    (cos_h.shape[0], height, width)))
+    return pe
+
+
+def upsample_block_init(rng: jax.Array, in_channels: int, out_channels: int,
+                        n_groups: int = 32, dtype=jnp.float32) -> dict:
+    """Learnable pixel-decoder block (ref ``UpsampleBlock``,
+    ``maskformer.py:271-282``): 3x3 conv + GroupNorm + ReLU + bilinear x2.
+    Present for the ``learnable_pixel_decoder: true`` configuration (false
+    in the live config)."""
+    import math
+
+    k1, k2 = jax.random.split(rng)
+    fan_in = in_channels * 9
+    bound = 1.0 / math.sqrt(fan_in)
+    return {
+        "conv": jax.random.uniform(k1, (3, 3, in_channels, out_channels),
+                                   dtype, -bound, bound),
+        "conv_b": jax.random.uniform(k2, (out_channels,), dtype,
+                                     -bound, bound),
+        "gn_scale": jnp.ones((out_channels,), dtype),
+        "gn_bias": jnp.zeros((out_channels,), dtype),
+        "n_groups": n_groups,
+    }
+
+
+def upsample_block_apply(p: dict, x: jax.Array,
+                         scale_factor: int = 2) -> jax.Array:
+    """x: [B, H, W, C] -> [B, H*s, W*s, C']."""
+    y = jax.lax.conv_general_dilated(
+        x, p["conv"].astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(jnp.float32)
+    y = y + p["conv_b"].astype(jnp.float32)
+    b, h, w, c = y.shape
+    g = int(p["n_groups"])
+    yg = y.reshape(b, h, w, g, c // g)
+    mean = yg.mean(axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(yg, axis=(1, 2, 4), keepdims=True)
+    yg = (yg - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = yg.reshape(b, h, w, c) * p["gn_scale"] + p["gn_bias"]
+    y = jax.nn.relu(y).astype(x.dtype)
+    y = y.transpose(0, 3, 1, 2)
+    y = interpolate_bilinear(y, h * scale_factor, w * scale_factor)
+    return y.transpose(0, 2, 3, 1)

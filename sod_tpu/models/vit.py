@@ -266,3 +266,46 @@ def vit_get_tokens(params: dict, x: jax.Array, cfg: ViTConfig,
     if not patch_tokens:
         return stacked[:, :, 0, :]
     return stacked
+
+
+# ---------------------------------------------------------------------------
+# DINOHead (ref vision_transformer.py:535-569; not in the live SOD path,
+# kept for capability parity with the DINO-pretraining toolkit surface)
+# ---------------------------------------------------------------------------
+
+def dino_head_init(rng: jax.Array, in_dim: int, out_dim: int,
+                   nlayers: int = 3, hidden_dim: int = 2048,
+                   bottleneck_dim: int = 256, dtype=jnp.float32) -> dict:
+    from sod_tpu.ops.layers import linear_init
+
+    nlayers = max(nlayers, 1)
+    keys = jax.random.split(rng, nlayers + 1)
+    if nlayers == 1:
+        dims = [in_dim, bottleneck_dim]
+    else:
+        # in -> hidden x(nlayers-1) -> bottleneck (ref :542-551)
+        dims = [in_dim] + [hidden_dim] * (nlayers - 1) + [bottleneck_dim]
+    mlp = {f"fc{i}": linear_init(keys[i], dims[i], dims[i + 1],
+                                 init="trunc_normal", dtype=dtype)
+           for i in range(len(dims) - 1)}
+    # weight-normed last layer: direction v with unit gain g (ref :554-557)
+    v = jax.random.normal(keys[-1], (bottleneck_dim, out_dim), dtype) * 0.02
+    return {"mlp": mlp, "last_v": v,
+            "last_g": jnp.ones((out_dim,), dtype)}
+
+
+def dino_head_apply(params: dict, x: jax.Array) -> jax.Array:
+    from sod_tpu.ops.layers import gelu, linear
+
+    n = len(params["mlp"])
+    h = x
+    for i in range(n):
+        h = linear(params["mlp"][f"fc{i}"], h)
+        if i < n - 1:
+            h = gelu(h)
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    v = params["last_v"]
+    v_unit = v / jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True), 1e-12)
+    w = v_unit * params["last_g"][None, :]
+    return jnp.dot(h, w.astype(h.dtype), preferred_element_type=jnp.float32
+                   ).astype(h.dtype)

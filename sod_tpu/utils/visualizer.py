@@ -1,0 +1,119 @@
+"""Visualization grids (ref ``utils/visualizer.py:9-95`` +
+``base_structure.py:55-100``).
+
+Renders training/eval debug grids: input image, GT mask, the selected
+query's prediction (red border) and every query mask, saved as PNG via
+matplotlib.  Also the evaluator's objectness-ranked mask grid.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from sod_tpu.data.augment import denormalize
+
+
+def _to_img(x: np.ndarray) -> np.ndarray:
+    """Normalized [H, W, 3] float -> uint8 RGB."""
+    return denormalize(np.asarray(x))
+
+
+class Visualizer:
+    """Callable used by the Trainer hook and the Evaluator dumps."""
+
+    def __init__(self, dir_out: str):
+        self.dir_out = dir_out
+        os.makedirs(dir_out, exist_ok=True)
+
+    def grid(self, image: np.ndarray, gt_mask: Optional[np.ndarray],
+             pred_masks: np.ndarray, selected: Optional[int],
+             objectness: Optional[np.ndarray], fp: str) -> str:
+        """One sample: image | GT | selected pred | all query masks.
+
+        :param pred_masks: [Q, h, w] in [0, 1];
+        :param selected: highlighted query index (red border, ref
+            ``utils/visualizer.py:60-75``).
+        """
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        q = len(pred_masks)
+        n_cols = max(4, min(q, 10))
+        n_rows = 1 + -(-q // n_cols)
+        fig, axes = plt.subplots(n_rows, n_cols,
+                                 figsize=(2.0 * n_cols, 2.0 * n_rows))
+        axes = np.atleast_2d(axes)
+        for ax in axes.ravel():
+            ax.axis("off")
+
+        axes[0, 0].imshow(_to_img(image))
+        axes[0, 0].set_title("input", fontsize=8)
+        if gt_mask is not None:
+            axes[0, 1].imshow(np.asarray(gt_mask), cmap="gray")
+            axes[0, 1].set_title("GT", fontsize=8)
+        if selected is not None:
+            axes[0, 2].imshow(np.asarray(pred_masks[selected]), cmap="gray")
+            axes[0, 2].set_title(f"selected q{selected}", fontsize=8)
+            for spine in axes[0, 2].spines.values():
+                spine.set_edgecolor("red")
+                spine.set_linewidth(3)
+            axes[0, 2].axis("on")
+            axes[0, 2].set_xticks([])
+            axes[0, 2].set_yticks([])
+
+        order = (np.argsort(-np.asarray(objectness))
+                 if objectness is not None else np.arange(q))
+        for rank, qi in enumerate(order):
+            r, c = 1 + rank // n_cols, rank % n_cols
+            if r >= n_rows:
+                break
+            ax = axes[r, c]
+            ax.imshow(np.asarray(pred_masks[qi]), cmap="gray")
+            title = f"q{qi}"
+            if objectness is not None:
+                title += f" {float(objectness[qi]):.2f}"
+            ax.set_title(title, fontsize=7)
+            if selected is not None and qi == selected:
+                ax.axis("on")
+                ax.set_xticks([])
+                ax.set_yticks([])
+                for spine in ax.spines.values():
+                    spine.set_edgecolor("red")
+                    spine.set_linewidth(3)
+
+        out = os.path.join(self.dir_out, fp)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        fig.tight_layout()
+        fig.savefig(out, dpi=80)
+        plt.close(fig)
+        return out
+
+    def __call__(self, epoch: int, it: int, batch: Dict, params=None,
+                 outputs: Optional[Dict] = None) -> Optional[str]:
+        """Trainer hook (dump dir layout ref trainer pyc 134-164:
+        ``{dataset}/{epoch:02d}/...png``)."""
+        if outputs is None:
+            return None
+        image = batch["image"][0]
+        gt = batch["gt_masks"][0][0] if "gt_masks" in batch else None
+        preds = np.asarray(outputs["mask_pred"])[0, -1]
+        obj = np.asarray(outputs["objectness"])[0, -1, :, 0] \
+            if "objectness" in outputs else None
+        sel = int(np.argmax(obj)) if obj is not None else None
+        return self.grid(image, gt, preds, sel, obj,
+                         f"{epoch:02d}/{it:05d}.png")
+
+
+def extract_selected_predictions(pred_masks: np.ndarray,
+                                 gt_to_query: Sequence[int]) -> np.ndarray:
+    """Gather matched query masks (ref ``base_structure.py:26-53``
+    ``_extract_selected_predictions``): [B, Q, h, w] + per-image indices ->
+    [B, h, w]."""
+    pred_masks = np.asarray(pred_masks)
+    out = np.stack([pred_masks[b, int(q)]
+                    for b, q in enumerate(gt_to_query)], 0)
+    return out
