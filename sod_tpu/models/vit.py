@@ -309,3 +309,24 @@ def dino_head_apply(params: dict, x: jax.Array) -> jax.Array:
     w = v_unit * params["last_g"][None, :]
     return jnp.dot(h, w.astype(h.dtype), preferred_element_type=jnp.float32
                    ).astype(h.dtype)
+
+
+def vit_n_last_cls(params: dict, x: jax.Array, cfg: ViTConfig, n: int = 1,
+                   return_patch_avgpool: bool = False) -> jax.Array:
+    """CLS tokens of the n last blocks concatenated (ref
+    ``forward_return_n_last_blocks``, ``vision_transformer.py:448-471``)."""
+    stacked = vit_apply(params, x, cfg, all_layers=True)   # [L, B, 1+N, D]
+    outs = [stacked[-(n - i)][:, 0] for i in range(n)]
+    if return_patch_avgpool:
+        outs.append(stacked[-1][:, 1:].mean(axis=1))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def vit_n_last_patch_emb(params: dict, x: jax.Array, cfg: ViTConfig,
+                         n: int = 1) -> jax.Array:
+    """Patch embeddings of the n last blocks stacked on the trailing axis
+    (ref ``return_patch_emb_from_n_last_blocks``,
+    ``vision_transformer.py:473-497``): [B, N, D, n]."""
+    stacked = vit_apply(params, x, cfg, all_layers=True)
+    outs = [stacked[-(n - i)][:, 1:] for i in range(n)]
+    return jnp.stack(outs, axis=-1)

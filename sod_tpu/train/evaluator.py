@@ -229,3 +229,26 @@ class Evaluator:
             "mae_ub": meters["mae_ub"].avg,
             "s_measure_ub": meters["s_measure_ub"].avg,
         }
+
+
+def salient_mask_index(pred_masks, h=None, w=None) -> int:
+    """GT-free mask selection by IoU voting among the (filtered) query
+    masks (ref evaluator pyc ``_get_salient_mask``, dead code in the live
+    fork which selects by objectness instead; kept as the
+    ``selection="vote"`` capability).
+
+    :param pred_masks: [Q, H, W] numpy array of sigmoid masks.
+    :return: index of the query agreeing most with the others.
+    """
+    import numpy as np
+
+    from sod_tpu.data.mask_generator import vote_mask
+    from sod_tpu.utils.misc import filter_masks
+
+    binary = (np.asarray(pred_masks) > 0.5).astype(np.uint8)
+    if h is not None:
+        binary = binary[:, :h, :w]
+    filtered, mapping = filter_masks(binary, remove_long_masks=True,
+                                     remove_small_large_masks=False)
+    winner = vote_mask(filtered)
+    return mapping.get(winner, winner)

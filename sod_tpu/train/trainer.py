@@ -102,7 +102,11 @@ class Trainer:
                   ("loss", "dice_loss", "ranking_loss", "classification_loss",
                    "contrastive_loss", "iou", "grad_norm")}
 
+        from sod_tpu.utils.profiling import StepTimer
+
+        timer = StepTimer()
         for it, batch in enumerate(loader):
+            timer.tick()
             arrays = {k: v for k, v in batch.items() if k != "filename"}
             if self.mesh is not None:
                 arrays = shard_batch(arrays, self.mesh)
@@ -120,6 +124,8 @@ class Trainer:
 
         epoch_metrics = {f"avg_{k}": m.avg for k, m in meters.items()}
         epoch_metrics["epoch"] = num_epoch
+        epoch_metrics["images_per_second"] = timer.images_per_second(
+            cfg.batch_size)
         self.logger.log(epoch_metrics, step=self.n_iters_done)
 
         save_checkpoint(os.path.join(self.dir_ckpt, "latest_model"),
