@@ -70,7 +70,11 @@ class Evaluator:
                  mcfg: Optional[MaskFormerConfig] = None,
                  dir_dataset: Optional[str] = None,
                  visualizer=None, debug: bool = False,
-                 batch_size: int = 16):
+                 batch_size: int = 16, mesh=None):
+        """:param mesh: optional ``jax.sharding.Mesh`` — evaluation batches
+        are sharded over its ``data`` axis (params replicated), the
+        ICI-native replacement for the reference's dormant
+        DistributedSampler path (SURVEY §2)."""
         self.params = params
         self.cfg = cfg
         self.mcfg = mcfg or config_from(cfg)
@@ -79,6 +83,15 @@ class Evaluator:
         self.visualizer = visualizer
         self.debug = debug
         self.batch_size = batch_size
+        self.mesh = mesh
+        if mesh is not None:
+            from sod_tpu.parallel import replicated
+
+            self.params = jax.device_put(self.params, replicated(mesh))
+            if batch_size % mesh.devices.size != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by mesh size "
+                    f"{mesh.devices.size}")
         self._pe_cache: Dict = {}
         self._compiled = {}
 
@@ -183,9 +196,15 @@ class Evaluator:
                 grid_pe[:gh, :gw] = pe[1:].reshape(gh, gw, d)
                 pos_embed[i, 1:] = grid_pe.reshape(-1, d)
 
-            out = step(self.params, jnp.asarray(image), jnp.asarray(tok_mask),
-                       jnp.asarray(pos_embed), jnp.asarray(grid_sizes),
-                       jnp.asarray(gt), jnp.asarray(hw))
+            arrays = (image, tok_mask, pos_embed, grid_sizes, gt, hw)
+            if self.mesh is not None:
+                from sod_tpu.parallel import batch_sharding
+
+                sh = batch_sharding(self.mesh)
+                arrays = tuple(jax.device_put(a, sh) for a in arrays)
+            else:
+                arrays = tuple(jnp.asarray(a) for a in arrays)
+            out = step(self.params, *arrays)
             out = jax.device_get(out)
             for i in range(n):
                 for k in _METRICS:
