@@ -86,6 +86,31 @@ class Trainer:
         cfg.dump_json(os.path.join(self.dir_ckpt, "config.json"))
 
     # ------------------------------------------------------------------
+    def resume(self, path: Optional[str] = None) -> int:
+        """Restore params/optimizer/counters from a checkpoint and return
+        the next epoch to run.  (The reference saves ``latest_model.pt``
+        every epoch but has NO restore path — SURVEY §5; this closes that
+        gap.)"""
+        from sod_tpu.train.checkpoints import restore_checkpoint
+
+        path = path or os.path.join(self.dir_ckpt, "latest_model")
+        state = restore_checkpoint(path)
+        self.params = jax.tree.map(jax.numpy.asarray, state["params"])
+        if "opt_state" in state:
+            template = jax.device_get(self.opt_state)
+            restored = state["opt_state"]
+            self.opt_state = jax.tree.map(
+                jax.numpy.asarray, jax.tree.unflatten(
+                    jax.tree.structure(template),
+                    jax.tree.leaves(restored)))
+        self.n_iters_done = int(state.get("n_iters", 0))
+        if self.mesh is not None:
+            rep = replicated(self.mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
+        return int(state.get("epoch", 0)) + 1
+
+    # ------------------------------------------------------------------
     def _train_epoch(self, num_epoch: int) -> Dict[str, float]:
         cfg = self.cfg
         self.dataset.set_mode("train")

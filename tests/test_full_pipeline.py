@@ -1,0 +1,80 @@
+"""Full-pipeline integration: pseudo-mask generation -> training on the
+generated masks -> evaluation -> resume (SURVEY §3.4 + §3.1 + §3.2 chained
+end-to-end on synthetic data)."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from sod_tpu.config import Config
+from sod_tpu.data.mask_generator import MaskGenerator
+from sod_tpu.models.maskformer import MaskFormerConfig
+from sod_tpu.models.vit import ViTConfig
+from sod_tpu.train import Trainer
+
+
+@pytest.mark.slow
+def test_generate_train_eval_resume(tmp_path):
+    rng = np.random.RandomState(0)
+    duts = tmp_path / "data" / "DUTS"
+    for sub in ("DUTS-TR-Image", "DUTS-TE-Image", "DUTS-TE-Mask"):
+        (duts / sub).mkdir(parents=True)
+
+    # synthetic train images: bright object on dark background
+    train_paths = []
+    for i in range(6):
+        img = np.full((64, 64, 3), 25, np.uint8)
+        img[12 + i:52, 14:50] = 210
+        img += rng.randint(0, 12, img.shape).astype(np.uint8)
+        fp = duts / "DUTS-TR-Image" / f"tr_{i:02d}.jpg"
+        Image.fromarray(img).save(fp)
+        train_paths.append(str(fp))
+    for i in range(3):
+        img = np.full((50, 58, 3), 25, np.uint8)
+        img[10:40, 12:46] = 210
+        Image.fromarray(img).save(duts / "DUTS-TE-Image" / f"te_{i}.jpg")
+        gt = np.zeros((50, 58), np.uint8)
+        gt[10:40, 12:46] = 255
+        Image.fromarray(gt).save(duts / "DUTS-TE-Mask" / f"te_{i}.png")
+
+    # 1. pseudo-mask generation (spectral voting on a tiny random ViT)
+    gen = MaskGenerator(cluster_sizes=[2], cluster_type="spectral",
+                        feature_types=["dino"], patch_size=8, image_size=64,
+                        scale_factor=2, batch_size=3, seed=0)
+    pm_fp = str(tmp_path / "pseudo.json")
+    gen.dump(train_paths, pm_fp)
+    with open(pm_fp) as f:
+        masks = json.load(f)
+    assert len(masks) == 6
+
+    # 2. train one epoch on the generated masks
+    cfg = Config(
+        dir_ckpt=str(tmp_path / "ckpt"), dir_dataset=str(tmp_path / "data"),
+        pseudo_masks_fp=pm_fp, train_image_size=64, eval_image_size=64,
+        batch_size=3, num_workers=2, max_gt_masks=2,
+        compute_dtype="float32", use_pallas_attention=False,
+        benchmarks=["duts"], n_epochs=1)
+    mcfg = MaskFormerConfig(
+        n_queries=4, n_decoder_layers=2,
+        vit=ViTConfig(patch_size=8, embed_dim=32, depth=2, n_heads=2,
+                      pos_grid=8))
+    trainer = Trainer(cfg, mcfg=mcfg)
+    em = trainer._train_epoch(1)
+    assert np.isfinite(em["avg_loss"])
+
+    # 3. evaluate
+    bench = trainer._evaluate(1)
+    assert 0.0 <= bench["iou (DUTS)"] <= 1.0
+
+    # 4. resume into a fresh trainer
+    trainer2 = Trainer(cfg, mcfg=mcfg)
+    next_epoch = trainer2.resume()
+    assert next_epoch == 2
+    assert trainer2.n_iters_done == trainer.n_iters_done
+    for a, b in zip(np.asarray(trainer.params["query_embed"]),
+                    np.asarray(trainer2.params["query_embed"])):
+        np.testing.assert_array_equal(a, b)
+    em2 = trainer2._train_epoch(next_epoch)
+    assert np.isfinite(em2["avg_loss"])
