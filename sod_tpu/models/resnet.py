@@ -37,6 +37,16 @@ RESNET50_OUT_CHANNELS = 2048
 _LAYERS = (3, 4, 6, 3)
 _PLANES = (64, 128, 256, 512)
 
+# full constructor family (ref resnet_models.py:172-273: resnet18/34/50/
+# 101/152 + deep-base variants)
+_FAMILY = {
+    "resnet18": ("basic", (2, 2, 2, 2)),
+    "resnet34": ("basic", (3, 4, 6, 3)),
+    "resnet50": ("bottleneck", (3, 4, 6, 3)),
+    "resnet101": ("bottleneck", (3, 4, 23, 3)),
+    "resnet152": ("bottleneck", (3, 8, 36, 3)),
+}
+
 
 # ---------------------------------------------------------------------------
 # primitives
@@ -113,6 +123,32 @@ def _bottleneck_apply(p, x, stride, dilation):
     return jax.nn.relu(out + residual)
 
 
+def _basic_init(rng, cin, planes, has_down, dtype):
+    """BasicBlock (ref resnet_models.py:25-54): two 3x3 convs."""
+    ks = jax.random.split(rng, 3)
+    p = {
+        "conv1": conv_init(ks[0], 3, 3, cin, planes, dtype),
+        "bn1": bn_init(planes, dtype),
+        "conv2": conv_init(ks[1], 3, 3, planes, planes, dtype),
+        "bn2": bn_init(planes, dtype),
+    }
+    if has_down:
+        p["down_conv"] = conv_init(ks[2], 1, 1, cin, planes, dtype)
+        p["down_bn"] = bn_init(planes, dtype)
+    return p
+
+
+def _basic_apply(p, x, stride, dilation):
+    out = jax.nn.relu(batch_norm(p["bn1"], conv(p["conv1"], x, stride,
+                                                dilation)))
+    out = batch_norm(p["bn2"], conv(p["conv2"], out, 1, dilation))
+    if "down_conv" in p:
+        residual = batch_norm(p["down_bn"], conv(p["down_conv"], x, stride))
+    else:
+        residual = x
+    return jax.nn.relu(out + residual)
+
+
 def _stage_geometry(dilate_scale: Optional[int]):
     """(stride, conv2_dilation) per stage-first-block / rest, following the
     reference's ``_nostride_dilate`` with multi_grid=None."""
@@ -133,36 +169,69 @@ def _stage_geometry(dilate_scale: Optional[int]):
     return geo
 
 
-def resnet50_init(rng, dilate_scale: Optional[int] = 8,
-                  dtype=jnp.float32) -> dict:
-    """ResNet-50 params; ``dilate_scale=8`` is the reference's live config
-    (``networks/resnet.py:12``), None = normal stride-32 backbone."""
-    ks = jax.random.split(rng, 6)
-    params = {
-        "prefix": {"conv1": conv_init(ks[0], 7, 7, 3, 64, dtype),
-                   "bn1": bn_init(64, dtype)},
-    }
-    cin = 64
-    for i, (n_blocks, planes) in enumerate(zip(_LAYERS, _PLANES)):
+def resnet_init(rng, arch: str = "resnet50", deep_base: bool = False,
+                dtype=jnp.float32) -> dict:
+    """Any family member (ref resnet_models.py constructors).  ``deep_base``
+    replaces the 7x7 stem with three 3x3 convs (ref :101-113)."""
+    block_type, layers = _FAMILY[arch]
+    expansion = 4 if block_type == "bottleneck" else 1
+    ks = jax.random.split(rng, 8)
+    if deep_base:
+        params = {"prefix": {
+            "conv1": conv_init(ks[0], 3, 3, 3, 64, dtype),
+            "bn1": bn_init(64, dtype),
+            "conv2": conv_init(ks[5], 3, 3, 64, 64, dtype),
+            "bn2": bn_init(64, dtype),
+            "conv3": conv_init(ks[6], 3, 3, 64, 128, dtype),
+            "bn3": bn_init(128, dtype),
+        }}
+        cin = 128
+    else:
+        params = {"prefix": {"conv1": conv_init(ks[0], 7, 7, 3, 64, dtype),
+                             "bn1": bn_init(64, dtype)}}
+        cin = 64
+    init_fn = (_bottleneck_init if block_type == "bottleneck"
+               else _basic_init)
+    for i, (n_blocks, planes) in enumerate(zip(layers, _PLANES)):
         bks = jax.random.split(ks[i + 1], n_blocks)
         blocks = {}
         for b in range(n_blocks):
             stride_for_down = (1 if i == 0 else 2)
-            has_down = b == 0 and (stride_for_down != 1 or cin != planes * 4)
-            blocks[f"block{b}"] = _bottleneck_init(
-                bks[b], cin, planes, has_down, stride_for_down, dtype)
-            cin = planes * 4
+            has_down = b == 0 and (stride_for_down != 1
+                                   or cin != planes * expansion)
+            if block_type == "bottleneck":
+                blocks[f"block{b}"] = _bottleneck_init(
+                    bks[b], cin, planes, has_down, stride_for_down, dtype)
+            else:
+                blocks[f"block{b}"] = _basic_init(bks[b], cin, planes,
+                                                  has_down, dtype)
+            cin = planes * expansion
         params[f"layer{i + 1}"] = blocks
+    del init_fn
     return params
 
 
-def resnet50_apply(params: dict, x: jax.Array,
-                   dilate_scale: Optional[int] = 8) -> Dict[str, jax.Array]:
+def resnet50_init(rng, dilate_scale: Optional[int] = 8,
+                  dtype=jnp.float32) -> dict:
+    """ResNet-50 params; ``dilate_scale=8`` is the reference's live config
+    (``networks/resnet.py:12``), None = normal stride-32 backbone."""
+    del dilate_scale  # dilation is an apply-time property (no weight change)
+    return resnet_init(rng, "resnet50", dtype=dtype)
+
+
+def resnet_apply(params: dict, x: jax.Array,
+                 dilate_scale: Optional[int] = 8,
+                 block_type: str = "bottleneck") -> Dict[str, jax.Array]:
     """Forward; x: [B, H, W, 3] normalized. Returns res2..res5 (NHWC)."""
     geo = _stage_geometry(dilate_scale)
-    h = jax.nn.relu(batch_norm(params["prefix"]["bn1"],
-                               conv(params["prefix"]["conv1"], x, stride=2)))
+    pre = params["prefix"]
+    h = jax.nn.relu(batch_norm(pre["bn1"], conv(pre["conv1"], x, stride=2)))
+    if "conv2" in pre:       # deep-base stem
+        h = jax.nn.relu(batch_norm(pre["bn2"], conv(pre["conv2"], h)))
+        h = jax.nn.relu(batch_norm(pre["bn3"], conv(pre["conv3"], h)))
     h = max_pool_3x3_s2(h)
+    apply_fn = (_bottleneck_apply if block_type == "bottleneck"
+                else _basic_apply)
     outs = {}
     for i in range(4):
         first_stride, first_dil, rest_dil = geo[i]
@@ -170,6 +239,11 @@ def resnet50_apply(params: dict, x: jax.Array,
         for b in range(len([k for k in blocks if k.startswith("block")])):
             stride = first_stride if b == 0 else 1
             dil = first_dil if b == 0 else rest_dil
-            h = _bottleneck_apply(blocks[f"block{b}"], h, stride, dil)
+            h = apply_fn(blocks[f"block{b}"], h, stride, dil)
         outs[f"res{i + 2}"] = h
     return outs
+
+
+def resnet50_apply(params: dict, x: jax.Array,
+                   dilate_scale: Optional[int] = 8) -> Dict[str, jax.Array]:
+    return resnet_apply(params, x, dilate_scale, "bottleneck")

@@ -76,7 +76,7 @@ def _fwd_kernel_masked(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    valid = (col < n_real) & (mask_ref[0][None, :] > 0)
+    valid = (col < n_real) & (mask_ref[0, 0][None, :] > 0)
     s = jnp.where(valid, s, -1e30)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
@@ -131,7 +131,10 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
         mask = key_mask.astype(jnp.int32)
         if n_pad != n:
             mask = jnp.pad(mask, ((0, 0), (0, n_pad - n)))
-        mask_spec = pl.BlockSpec((1, n_pad), lambda i, j: (i // h, 0),
+        # Mosaic needs the last two block dims divisible by (8, 128) or
+        # equal to the array dims -> carry the mask as [B, 1, n_pad]
+        mask = mask[:, None, :]
+        mask_spec = pl.BlockSpec((1, 1, n_pad), lambda i, j: (i // h, 0, 0),
                                  memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             functools.partial(_fwd_kernel_masked, scale=scale, n_real=n),

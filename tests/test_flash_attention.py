@@ -42,3 +42,17 @@ def test_vjp_matches_xla_grads(rng):
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(not _HAS_PLTPU, reason="pallas tpu backend unavailable")
+def test_masked_kernel_interpret_matches_xla(rng):
+    b, h, n, d = 2, 2, 100, 32
+    q, k, v = [jnp.asarray(rng.randn(b, h, n, d).astype(np.float32))
+               for _ in range(3)]
+    mask = jnp.asarray(rng.rand(b, n) > 0.3)
+    mask = mask.at[:, 0].set(True)      # at least one valid key
+    scale = d ** -0.5
+    ours = _flash_forward(q, k, v, scale, key_mask=mask, interpret=True)
+    ref = _xla_attention(q, k, v, scale, key_mask=mask)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
