@@ -30,3 +30,18 @@ def build_optimizer(cfg: Config, n_iters_per_epoch: int,
         optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
                     weight_decay=cfg.weight_decay),
     )
+
+
+def get_lr_scheduler(cfg: Config, n_iters_per_epoch: int, mode: str = "poly",
+                     **kwargs):
+    """Scheduler factory (ref ``utils/misc.py:154-160``; poly only)."""
+    if mode != "poly":
+        raise ValueError(
+            f"Unsupported lr scheduler type: {mode} (currently [poly] "
+            "supported)")
+    from sod_tpu.train.lr_schedule import poly_schedule
+
+    total = cfg.n_epochs * n_iters_per_epoch
+    return poly_schedule(cfg.lr, total_iters=total,
+                         warmup_iters=cfg.lr_warmup_duration
+                         * n_iters_per_epoch, **kwargs)
