@@ -143,7 +143,16 @@ class Trainer:
                 m.update(float(host[k]), 1)
             if self.visualizer is not None and it % max(
                     1, len(loader) // 10) == 0:
-                self.visualizer(num_epoch, it, batch, self.params)
+                # render the current model's predictions on this batch
+                # (ref trainer pyc 134-164 visualisation dumps)
+                if not hasattr(self, "_vis_step"):
+                    from sod_tpu.train.step import make_eval_step
+
+                    self._vis_step = make_eval_step(self.cfg, self.mcfg)
+                outs = self._vis_step(self.params, arrays["image"][:1])
+                self.visualizer(num_epoch, it, batch,
+                                outputs={"mask_pred": outs["mask_pred"],
+                                         "objectness": outs["objectness"]})
             if self.debug:
                 break
 

@@ -100,9 +100,16 @@ class Visualizer:
             return None
         image = batch["image"][0]
         gt = batch["gt_masks"][0][0] if "gt_masks" in batch else None
-        preds = np.asarray(outputs["mask_pred"])[0, -1]
-        obj = np.asarray(outputs["objectness"])[0, -1, :, 0] \
-            if "objectness" in outputs else None
+        preds = np.asarray(outputs["mask_pred"])[0]
+        if preds.ndim == 4:              # [L, Q, h, w] -> last layer
+            preds = preds[-1]
+        obj = None
+        if "objectness" in outputs:
+            obj = np.asarray(outputs["objectness"])[0]
+            if obj.ndim == 3:            # [L, Q, 1]
+                obj = obj[-1, :, 0]
+            elif obj.ndim == 2:          # [Q, 1] or [L, Q]? -> flatten
+                obj = obj[..., -1] if obj.shape[-1] == 1 else obj[-1]
         sel = int(np.argmax(obj)) if obj is not None else None
         return self.grid(image, gt, preds, sel, obj,
                          f"{epoch:02d}/{it:05d}.png")
