@@ -26,6 +26,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="optional torch checkpoint to initialise from")
     p.add_argument("--n_devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from this experiment's latest_model "
+                        "checkpoint (capability the reference lacks)")
     return p
 
 
@@ -59,7 +62,13 @@ def main(argv=None) -> None:
 
     trainer = Trainer(cfg, params=params, mesh=mesh, debug=cfg.debug)
     print(f"experiment: {define_experim_name(cfg)} -> {trainer.dir_ckpt}")
-    trainer(n_epochs=cfg.n_epochs)
+    start_epoch = 1
+    if args.resume:
+        start_epoch = trainer.resume()
+        print(f"resumed; continuing from epoch {start_epoch}")
+    for epoch in range(start_epoch, cfg.n_epochs + 1):
+        trainer._train_epoch(epoch)
+        trainer._evaluate(epoch)
 
 
 if __name__ == "__main__":
