@@ -58,29 +58,15 @@ def rect_metrics(pred: jax.Array, gt: jax.Array, h, w,
     # F-measure @0.5
     f_measure = f(*prec_recall(pb))
 
-    # F-max over 255 thresholds — histogram formulation.  A pixel p counts
-    # as positive at threshold i iff p > t_i, i.e. for the first
-    # searchsorted(t, p, 'left') thresholds; bucketing by that count and
-    # suffix-summing gives tp(i)/npred(i) with BIT-IDENTICAL comparisons to
-    # materialising the [T, H, W] sweep, at O(HW log T + T) instead of
-    # O(T*HW) (the reference loops this sweep per image,
-    # metrics/f_measure.py:62-80; the dense version dominated XLA compile
-    # time at canvas scale).
+    # F-max over 255 thresholds — dense tensorised sweep (the reference
+    # loops this per image, metrics/f_measure.py:62-80).  Measured on v5e
+    # at canvas scale this VPU-friendly formulation runs ~12 ms/batch;
+    # histogram-scatter and sort/cumsum reformulations compile faster but
+    # run 20-35x slower (TPU scatters/sorts), so the dense sweep stays.
     thresholds = jnp.arange(n_bins, dtype=jnp.float32) / n_bins
-    bucket = jnp.searchsorted(thresholds, predv.reshape(-1),
-                              side="left").astype(jnp.int32)   # [HW] in [0,T]
-    vflat = valid.reshape(-1)
-    gflat = gt_b.reshape(-1)
-    hist_pos = jnp.zeros(n_bins + 1, jnp.float32).at[bucket].add(
-        (vflat & gflat).astype(jnp.float32))
-    hist_all = jnp.zeros(n_bins + 1, jnp.float32).at[bucket].add(
-        vflat.astype(jnp.float32))
-    # tp(i) = sum_{b > i} hist_pos[b]  (suffix sums, dropping bucket 0..i)
-    suffix_pos = jnp.cumsum(hist_pos[::-1])[::-1]
-    suffix_all = jnp.cumsum(hist_all[::-1])[::-1]
-    tp = suffix_pos[1:]                               # [T] at thresholds 0..T-1
-    npred = suffix_all[1:]
-    prec = tp / (npred + eps)
+    binary = (predv[None] > thresholds[:, None, None]) & valid[None]
+    tp = (binary & gt_b[None]).sum(axis=(-1, -2)).astype(jnp.float32)
+    prec = tp / (binary.sum(axis=(-1, -2)) + eps)
     rec = tp / (gt_b.sum() + eps)
     f_max = f(prec, rec).max()
 
