@@ -51,7 +51,7 @@ import jax
 import jax.numpy as jnp
 
 from sod_tpu.ops.hungarian import hungarian
-from sod_tpu.ops.resize import interpolate_bilinear
+from sod_tpu.ops.resize import _resize_matrix, interpolate_bilinear
 
 
 # ---------------------------------------------------------------------------
@@ -187,24 +187,62 @@ def criterion_forward(
     b, l, q, ph, pw = mask_pred.shape
     _, m, H, W = gt_masks.shape
 
-    # bilinear-resize predictions to GT resolution (ref pyc 1082-1156)
-    pred = interpolate_bilinear(mask_pred.astype(jnp.float32), H, W)
-    pred_flat = pred.reshape(b, l, q, H * W)
-    gt_flat = gt_masks.astype(jnp.float32).reshape(b, m, H * W)
+    # The reference bilinearly resizes predictions to GT resolution before
+    # the dice einsum (ref pyc 1082-1156).  Upsampling is linear, so
+    # <up(P), G> = <P, up^T(G)>: instead of materialising [B, L, Q, H, W]
+    # and contracting over H*W (~770 GFLOP fp32 per step at the live
+    # shapes — more than the ViT forward), we adjoint-downsample the GT
+    # once with the transposed interpolation matrices and contract at the
+    # prediction resolution.  Bit-exact up to fp reassociation.
+    predf = mask_pred.astype(jnp.float32)
+    pred_flat = predf.reshape(b, l, q, ph * pw)
+    gtf = gt_masks.astype(jnp.float32)
+    gt_flat = gtf.reshape(b, m, H * W)
+
+    wh = jnp.asarray(_resize_matrix(ph, H, "bilinear"))    # [H, ph]
+    ww = jnp.asarray(_resize_matrix(pw, W, "bilinear"))    # [W, pw]
+
+    def adjoint_down(g):                                   # [..., H, W]
+        y = jnp.einsum("Hh,...HW,Ww->...hw", wh, g, ww,
+                       preferred_element_type=jnp.float32)
+        return y
+
+    gt_down = adjoint_down(gtf).reshape(b, m, ph * pw)     # [B, M, hw]
+    # sum over pixels of up(P) = c_h^T P c_w with the matrices' col-sums
+    ch = wh.sum(axis=0)                                     # [ph]
+    cw = ww.sum(axis=0)                                     # [pw]
+    pred_up_sum = jnp.einsum("h,blqhw,w->blq", ch,
+                             predf.reshape(b, l, q, ph, pw), cw)
 
     img_valid = gt_valid.any(axis=1)                       # [B]
     n_imgs = jnp.maximum(img_valid.sum(), 1)
 
     # first valid GT row per image (collate keeps real masks first)
     gt0 = gt_flat[:, 0]                                     # [B, HW]
+    gt0_down = gt_down[:, 0]                                # [B, hw]
+
+    def dice_matrix_lowres(pf, gd, gsum, psum):
+        """Pairwise dice using adjoint-downsampled GT.
+
+        pf: [Q, hw] preds at native res; gd: [M, hw] adjoint GT;
+        gsum: [M] GT pixel sums at full res; psum: [Q] upsampled-pred sums.
+        """
+        num = 2.0 * jnp.einsum("qc,mc->qm", pf, gd,
+                               preferred_element_type=jnp.float32)
+        den = psum[:, None] + gsum[None, :]
+        return 1.0 - (num + 1.0) / (den + 1.0)
+
+    gt_sums = gt_flat.sum(-1)                               # [B, M]
 
     dims = dict(B=b, L=l)
 
     if not use_classification_loss:
         # ---- LIVE branch: all-queries dice + ranking (pyc 1998-2526) ----
         # dice over every (layer, query, valid gt row)
-        dice_bl = jax.vmap(jax.vmap(dice_loss_matrix, in_axes=(0, None)),
-                           in_axes=(0, 0))(pred_flat, gt_flat)  # [B, L, Q, M]
+        dice_bl = jax.vmap(jax.vmap(dice_matrix_lowres,
+                                    in_axes=(0, None, None, 0)),
+                           in_axes=(0, 0, 0, 0))(
+            pred_flat, gt_down, gt_sums, pred_up_sum)       # [B, L, Q, M]
         valid_rows = gt_valid[:, None, None, :]
         dice_total_per_img = jnp.where(valid_rows, dice_bl, 0.0).sum((1, 2, 3))
 
@@ -221,9 +259,12 @@ def criterion_forward(
         # loop iteration's dict, pyc 2106-2210 + 2570-2602)
         gt_to_query = jnp.argmin(dice_q0[:, -1], axis=-1)   # [B]
 
-        # matched-mask IoU diagnostics on the last layer (pyc 3380-3810)
-        sel = jnp.take_along_axis(
-            pred_flat[:, -1], gt_to_query[:, None, None], axis=1)[:, 0]
+        # matched-mask IoU diagnostics on the last layer (pyc 3380-3810):
+        # binarisation is nonlinear, so upsample just the selected query
+        sel_low = jnp.take_along_axis(
+            predf[:, -1].reshape(b, q, ph, pw),
+            gt_to_query[:, None, None, None], axis=1)[:, 0]  # [B, ph, pw]
+        sel = interpolate_bilinear(sel_low, H, W).reshape(b, H * W)
         bin_sel = sel > 0.5
         inter = jnp.sum(jnp.logical_and(gt0 > 0, bin_sel), axis=-1)
         union = jnp.sum(jnp.logical_or(gt0 > 0, bin_sel), axis=-1)
@@ -239,11 +280,19 @@ def criterion_forward(
     else:
         # ---- Hungarian-matched classification branch (pyc 1572-1990) ----
         # targets: {background, foreground} one-hot rows of GT row 0
-        # (ref pyc 1198-1288 via utils.misc:to_one_hot)
-        targets = jnp.stack([1.0 - gt0, gt0], axis=1)       # [B, 2, HW]
+        # (ref pyc 1198-1288 via utils.misc:to_one_hot).  Adjoint of the
+        # background row: up^T(1 - G) = up^T(1) - up^T(G) with
+        # up^T(1)[h,w] = ch[h]*cw[w].
+        ones_down = (ch[:, None] * cw[None, :]).reshape(-1)  # [hw]
+        gt0_sum = gt_flat[:, 0].sum(-1)                      # [B]
+        targets_down = jnp.stack([ones_down[None, :] - gt0_down, gt0_down],
+                                 axis=1)                     # [B, 2, hw]
+        target_sums = jnp.stack([H * W - gt0_sum, gt0_sum], axis=1)  # [B, 2]
 
-        dice_bl = jax.vmap(jax.vmap(dice_loss_matrix, in_axes=(0, None)),
-                           in_axes=(0, 0))(pred_flat, targets)  # [B, L, Q, 2]
+        dice_bl = jax.vmap(jax.vmap(dice_matrix_lowres,
+                                    in_axes=(0, None, None, 0)),
+                           in_axes=(0, 0, 0, 0))(
+            pred_flat, targets_down, target_sums, pred_up_sum)  # [B, L, Q, 2]
         dice_mq = dice_bl.transpose(0, 1, 3, 2)             # [B, L, 2(M), Q]
         obj = objectness[..., 0]                             # [B, L, Q]
         cost = dice_mq - obj[:, :, None, :]                  # [B, L, 2, Q]
@@ -267,8 +316,10 @@ def criterion_forward(
 
         # IoU of the matched foreground query on the last layer
         fg_q = assign[:, -1, 1]
-        sel = jnp.take_along_axis(pred_flat[:, -1], fg_q[:, None, None],
-                                  axis=1)[:, 0]
+        sel_low = jnp.take_along_axis(
+            predf[:, -1].reshape(b, q, ph, pw),
+            fg_q[:, None, None, None], axis=1)[:, 0]
+        sel = interpolate_bilinear(sel_low, H, W).reshape(b, H * W)
         bin_sel = sel > 0.5
         inter = jnp.sum(jnp.logical_and(gt0 > 0, bin_sel), axis=-1)
         union = jnp.sum(jnp.logical_or(gt0 > 0, bin_sel), axis=-1)

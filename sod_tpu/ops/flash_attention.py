@@ -182,20 +182,26 @@ def _fwd(q, k, v, scale, key_mask):
 
 def _bwd(scale, res, g):
     q, k, v, key_mask = res
-    # recompute probabilities (flash-style remat)
+    # recompute probabilities (flash-style remat); the softmax itself stays
+    # fp32, the big matmuls run in the inputs' (bf16) dtype with fp32
+    # accumulation — standard mixed-precision attention backward
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
     if key_mask is not None:
         s = jnp.where(key_mask[:, None, None, :], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
-    gf = g.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf,
+    pc = p.astype(q.dtype)
+    gc = g.astype(q.dtype)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", pc, gc,
                     preferred_element_type=jnp.float32)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, v.astype(jnp.float32),
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gc, v,
                     preferred_element_type=jnp.float32)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    dsc = ds.astype(q.dtype)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", dsc, k,
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", dsc, q,
+                    preferred_element_type=jnp.float32) * scale
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
 
 
