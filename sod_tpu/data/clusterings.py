@@ -18,7 +18,6 @@ Voting": normalized-cut spectral clustering over patch-feature affinities):
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -25,7 +25,7 @@ Layouts: images NHWC; queries [B, L, Q, D]; mask_pred [B, L, Q, h, w].
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ torchvision) lives in ``sod_tpu.models.convert``.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

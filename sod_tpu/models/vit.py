@@ -23,7 +23,6 @@ token at index 0.
 """
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Optional, Tuple
 

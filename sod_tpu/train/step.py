@@ -7,7 +7,6 @@ gradient all-reduce is inserted by XLA (``sod_tpu.parallel``).
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

@@ -19,7 +19,6 @@ import os
 from typing import Dict, List, Optional
 
 import jax
-import numpy as np
 
 from sod_tpu.config import Config, define_experim_name
 from sod_tpu.data import DataLoader, get_dataset
