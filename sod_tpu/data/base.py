@@ -56,6 +56,12 @@ class BaseDataset:
     def __len__(self) -> int:
         return len(self.p_imgs)
 
+    # When True, __getitem__ returns the raw uint8 image under "image_u8"
+    # instead of the host-normalized float — the batched evaluator ships
+    # uint8 canvases and normalizes on device (4x less host->HBM traffic,
+    # bit-identical values).
+    return_raw: bool = False
+
     # --- default test-mode item (ref base_dataset.py:228-256) --------------
     def __getitem__(self, ind: int) -> dict:
         p_img = self.p_imgs[ind]
@@ -63,12 +69,17 @@ class BaseDataset:
         gt = np.asarray(Image.open(self.p_gts[ind]).convert("L"), np.int64)
         if gt.max() > 1:
             gt = (gt > 0).astype(np.int64)
-        return {
-            "image": normalize(np.asarray(image, np.float32)),   # [H, W, 3]
+        out = {
             "masks": gt[None].astype(np.uint8),                  # [1, H, W]
             "filename": os.path.basename(p_img),
             "p_img": p_img,
         }
+        arr = np.asarray(image, np.uint8)
+        if self.return_raw:
+            out["image_u8"] = arr                                # [H, W, 3]
+        else:
+            out["image"] = normalize(arr.astype(np.float32))
+        return out
 
     # --- shared train-time augmentation (ref base_dataset.py:57-136) -------
     def _augment_train(self, rng: np.random.Generator, image: Image.Image,

@@ -86,9 +86,13 @@ class DUTSDataset(BaseDataset):
         if masks.max() > 1:
             masks = masks > 0
 
-        return {
-            "image": normalize(arr),
+        out = {
             "masks": masks.astype(np.uint8),
             "filename": filename,
             "p_img": p_img,
         }
+        if self.return_raw and self.mode != "train":
+            out["image_u8"] = np.asarray(arr, np.uint8)
+        else:
+            out["image"] = normalize(arr)
+        return out

@@ -329,3 +329,64 @@ def vit_n_last_patch_emb(params: dict, x: jax.Array, cfg: ViTConfig,
     stacked = vit_apply(params, x, cfg, all_layers=True)
     outs = [stacked[-(n - i)][:, 1:] for i in range(n)]
     return jnp.stack(outs, axis=-1)
+
+
+def _dynamic_resize_matrix(in_size: int, out_size: int, n_valid) -> jax.Array:
+    """Bicubic interpolation matrix [out_size, in_size] for a TRACED target
+    length ``n_valid`` <= out_size (rows >= n_valid are garbage and must be
+    masked by the caller).  Identical math to ``ops.resize._resize_matrix``
+    (torch A=-0.75 kernel, half-pixel centers, edge-clamped taps), but with
+    the scale a traced value so one compiled program serves every image
+    grid of a canvas batch."""
+    a = -0.75
+    scale = in_size / n_valid.astype(jnp.float32)
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    src = (dst + 0.5) * scale - 0.5
+    i0 = jnp.floor(src)
+    frac = src - i0
+    cols = jnp.arange(in_size)
+    mat = jnp.zeros((out_size, in_size), jnp.float32)
+    for t in range(-1, 3):
+        x = jnp.abs(t - frac)
+        w = jnp.where(
+            x <= 1.0, (a + 2.0) * x ** 3 - (a + 3.0) * x ** 2 + 1.0,
+            jnp.where(x < 2.0,
+                      a * x ** 3 - 5.0 * a * x ** 2 + 8.0 * a * x - 4.0 * a,
+                      0.0))
+        idx = jnp.clip(i0 + t, 0, in_size - 1).astype(jnp.int32)
+        mat = mat + w[:, None] * (cols[None, :] == idx[:, None])
+    return mat
+
+
+def pos_embed_canvas_device(pos_embed: jax.Array, gh, gw,
+                            canvas_grid_hw) -> jax.Array:
+    """Per-image pos-embed for the fixed-canvas eval path, computed ON
+    DEVICE with traced (gh, gw): bicubic-resize the [pos_grid, pos_grid]
+    table to the image's true grid, placed in the top-left of the canvas
+    grid (zeros elsewhere — those tokens are attention-masked anyway).
+
+    :param pos_embed: [1, pos_grid^2 + 1, D] table.
+    :return: [1 + Gh*Gw, D].
+    """
+    gh_c, gw_c = canvas_grid_hw
+    d = pos_embed.shape[-1]
+    n0 = pos_embed.shape[1] - 1
+    pos_grid = int(round(float(n0) ** 0.5))
+    cls_pe, patch_pe = pos_embed[0, :1], pos_embed[0, 1:]
+    # identity when the image grid equals the table grid (ref
+    # interpolate_pos_encoding's early return, vision_transformer.py:387)
+    table = patch_pe.reshape(pos_grid, pos_grid, d).astype(jnp.float32)
+    mh = _dynamic_resize_matrix(pos_grid, gh_c, gh)
+    mw = _dynamic_resize_matrix(pos_grid, gw_c, gw)
+    out = jnp.einsum("Hh,hwd,Ww->HWd", mh, table, mw,
+                     preferred_element_type=jnp.float32)
+    same = (gh == pos_grid) & (gw == pos_grid)
+    native = jnp.zeros((gh_c, gw_c, d), jnp.float32)
+    if pos_grid <= gh_c and pos_grid <= gw_c:
+        native = native.at[:pos_grid, :pos_grid].set(table)
+    out = jnp.where(same, native, out)
+    row_ok = jnp.arange(gh_c)[:, None] < gh
+    col_ok = jnp.arange(gw_c)[None, :] < gw
+    out = jnp.where((row_ok & col_ok)[..., None], out, 0.0)
+    return jnp.concatenate([cls_pe.astype(jnp.float32),
+                            out.reshape(gh_c * gw_c, d)], axis=0)

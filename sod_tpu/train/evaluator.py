@@ -39,7 +39,11 @@ from sod_tpu.models.maskformer import (
     config_from,
     maskformer_apply_canvas,
 )
+from sod_tpu.models.vit import pos_embed_canvas_device
 from sod_tpu.ops.resize import _resize_matrix, interpolate_bilinear
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 _METRICS = ("f_measure", "f_max", "f_mean", "mae", "iou", "pixel_acc",
             "s_measure")
@@ -112,11 +116,31 @@ class Evaluator:
             return self._compiled[key]
         mcfg = self.mcfg
         p = mcfg.vit.patch_size
+        gh_c, gw_c = canvas_hw[0] // p, canvas_hw[1] // p
         compute_dtype = (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
                          else jnp.float32)
+        mean = jnp.asarray(_IMAGENET_MEAN)
+        std = jnp.asarray(_IMAGENET_STD)
 
         @jax.jit
-        def step(params, image, token_mask, pos_embed, grid_sizes, gt, sizes):
+        def step(params, image_u8, gt_u8, grid_sizes, sizes):
+            # device-side ImageNet normalization of the uint8 canvas (the
+            # host ships 4x less data; identical values)
+            image = (image_u8.astype(jnp.float32) / 255.0 - mean) / std
+            gt = gt_u8.astype(jnp.float32)
+
+            # token validity + per-image pos-embed computed on device
+            gh, gw = grid_sizes[:, 0], grid_sizes[:, 1]
+            rows = jnp.arange(gh_c)[None, :, None] < gh[:, None, None]
+            cols = jnp.arange(gw_c)[None, None, :] < gw[:, None, None]
+            patch_ok = (rows & cols).reshape(image.shape[0], gh_c * gw_c)
+            token_mask = jnp.concatenate(
+                [jnp.ones((image.shape[0], 1), bool), patch_ok], axis=1)
+            table = params["encoder"]["pos_embed"]
+            pos_embed = jax.vmap(
+                lambda a, b: pos_embed_canvas_device(table, a, b,
+                                                     (gh_c, gw_c)))(gh, gw)
+
             out = maskformer_apply_canvas(
                 params, image.astype(compute_dtype), mcfg,
                 token_mask=token_mask, pos_embed_override=pos_embed,
@@ -167,36 +191,32 @@ class Evaluator:
         d = self.mcfg.embed_dim
 
         step = self._eval_fn((canvas_h, canvas_w), cost_type)
-        loader = DataLoader(dataset, batch_size=batch_size, shuffle=False,
-                            num_workers=cfg.num_workers)
+        dataset.return_raw = True
 
-        rows = []
-        for bi, samples in enumerate(loader):
-            n = len(samples)
-            image = np.zeros((batch_size, canvas_h, canvas_w, 3), np.float32)
-            gt = np.zeros((batch_size, canvas_h, canvas_w), np.float32)
-            tok_mask = np.zeros((batch_size, n_tokens), bool)
-            pos_embed = np.zeros((batch_size, n_tokens, d), np.float32)
-            grid_sizes = np.zeros((batch_size, 2), np.int32)
+        def collate_canvas(samples):
+            """uint8 canvas assembly in loader worker threads."""
+            image = np.zeros((batch_size, canvas_h, canvas_w, 3), np.uint8)
+            gt = np.zeros((batch_size, canvas_h, canvas_w), np.uint8)
+            grid_sizes = np.ones((batch_size, 2), np.int32)
             hw = np.ones((batch_size, 2), np.int32)
             for i, s in enumerate(samples):
-                h, w = s["image"].shape[:2]
-                image[i, :h, :w] = s["image"]
+                h, w = s["image_u8"].shape[:2]
+                image[i, :h, :w] = s["image_u8"]
                 gt[i, :h, :w] = s["masks"][0]
-                gh, gw = pad(h) // p, pad(w) // p
-                grid_sizes[i] = (gh, gw)
+                grid_sizes[i] = (pad(h) // p, pad(w) // p)
                 hw[i] = (h, w)
-                valid = np.zeros((gh_c, gw_c), bool)
-                valid[:gh, :gw] = True
-                tok_mask[i, 0] = True
-                tok_mask[i, 1:] = valid.reshape(-1)
-                pe = self._pos_embed_for(gh, gw)          # [1+gh*gw, D]
-                pos_embed[i, 0] = pe[0]
-                grid_pe = np.zeros((gh_c, gw_c, d), np.float32)
-                grid_pe[:gh, :gw] = pe[1:].reshape(gh, gw, d)
-                pos_embed[i, 1:] = grid_pe.reshape(-1, d)
+            return {"n": len(samples), "image": image, "gt": gt,
+                    "grid_sizes": grid_sizes, "hw": hw}
 
-            arrays = (image, tok_mask, pos_embed, grid_sizes, gt, hw)
+        loader = DataLoader(dataset, batch_size=batch_size, shuffle=False,
+                            num_workers=cfg.num_workers,
+                            collate_fn=collate_canvas)
+
+        rows = []
+        for bi, batch in enumerate(loader):
+            n = batch["n"]
+            hw = batch["hw"]
+            arrays = (batch["image"], batch["gt"], batch["grid_sizes"], hw)
             if self.mesh is not None:
                 from sod_tpu.parallel import batch_sharding
 
