@@ -96,19 +96,7 @@ class Evaluator:
                 raise ValueError(
                     f"batch_size {batch_size} not divisible by mesh size "
                     f"{mesh.devices.size}")
-        self._pe_cache: Dict = {}
         self._compiled = {}
-
-    # ------------------------------------------------------------------
-    def _pos_embed_for(self, gh: int, gw: int) -> np.ndarray:
-        key = (gh, gw)
-        if key not in self._pe_cache:
-            table = np.asarray(
-                jax.device_get(self.params["encoder"]["pos_embed"]),
-                np.float32)
-            self._pe_cache[key] = host_pos_embed(
-                table, gh, gw, self.mcfg.vit.pos_grid)
-        return self._pe_cache[key]
 
     def _eval_fn(self, canvas_hw, cost_type):
         key = (canvas_hw, cost_type)
@@ -186,10 +174,6 @@ class Evaluator:
         pad = lambda v: -(-v // p) * p
         canvas_h = max(pad(h) for h, _ in sizes)
         canvas_w = max(pad(w) for _, w in sizes)
-        gh_c, gw_c = canvas_h // p, canvas_w // p
-        n_tokens = gh_c * gw_c + 1
-        d = self.mcfg.embed_dim
-
         step = self._eval_fn((canvas_h, canvas_w), cost_type)
         dataset.return_raw = True
 
