@@ -40,7 +40,8 @@ def jet_colormap(x: np.ndarray) -> np.ndarray:
 
 def _b64_png(img: Image.Image) -> str:
     buf = io.BytesIO()
-    img.save(buf, format="PNG")
+    # low compression: PNG encode dominates end-to-end predict latency
+    img.save(buf, format="PNG", compress_level=1)
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
