@@ -72,7 +72,12 @@ class DataLoader:
                  num_workers: int = 4,
                  collate_fn: Optional[Callable[[List[dict]], dict]] = None,
                  drop_last: bool = False, seed: int = 0,
-                 prefetch_batches: int = 2):
+                 prefetch_batches: int = 2,
+                 shard_by_process: bool = False):
+        """:param shard_by_process: under multi-host JAX, each process
+        iterates a disjoint index shard (``jax.process_index()`` of
+        ``jax.process_count()``) — the DCN-side analogue of the
+        reference's dormant DistributedSampler (SURVEY §5)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -81,6 +86,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch_batches = prefetch_batches
+        self.shard_by_process = shard_by_process
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -99,6 +105,11 @@ class DataLoader:
         order = np.arange(n)
         if self.shuffle:
             np.random.default_rng([self.seed, self._epoch]).shuffle(order)
+        if self.shard_by_process:
+            import jax
+
+            order = order[jax.process_index()::jax.process_count()]
+            n = len(order)
         batches = [order[i:i + self.batch_size]
                    for i in range(0, n, self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:

@@ -428,3 +428,41 @@ def upsample_block_apply(p: dict, x: jax.Array,
     y = y.transpose(0, 3, 1, 2)
     y = interpolate_bilinear(y, h * scale_factor, w * scale_factor)
     return y.transpose(0, 2, 3, 1)
+
+
+def position_embedding_sine(mask_shape, num_pos_feats: int = 64,
+                            temperature: float = 10000.0,
+                            normalize: bool = False,
+                            scale: float = None,
+                            not_mask: jax.Array = None) -> jax.Array:
+    """DETR sine position embedding (ref
+    ``networks/maskformer/positional_embedding.py:12-48``; declared but not
+    in the live forward path): cumsum-based y/x embeds with interleaved
+    sin/cos.  Returns [B, 2*num_pos_feats, H, W]."""
+    import math
+
+    if scale is not None and not normalize:
+        raise ValueError("normalize should be True if scale is passed")
+    if scale is None:
+        scale = 2 * math.pi
+    b, h, w = mask_shape
+    if not_mask is None:
+        not_mask = jnp.ones((b, h, w), jnp.float32)
+    y_embed = jnp.cumsum(not_mask, axis=1)
+    x_embed = jnp.cumsum(not_mask, axis=2)
+    if normalize:
+        eps = 1e-6
+        y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+        x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+
+    pos_x = x_embed[..., None] / dim_t
+    pos_y = y_embed[..., None] / dim_t
+    pos_x = jnp.stack([jnp.sin(pos_x[..., 0::2]), jnp.cos(pos_x[..., 1::2])],
+                      axis=4).reshape(b, h, w, -1)
+    pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])],
+                      axis=4).reshape(b, h, w, -1)
+    pos = jnp.concatenate([pos_y, pos_x], axis=3)
+    return pos.transpose(0, 3, 1, 2)
