@@ -317,7 +317,9 @@ def create_app(cfg=None, model_path: Optional[str] = None,
             Image.open(io.BytesIO(up.data)).verify()   # ref app.py:3855-3863
         except Exception:
             raise HTTPError(400, "Corrupted or invalid image file")
-        out = app.inference.predict(up.data)
+        refine = (req.form.get("refine") or
+                  req.query.get("refine", [""])[0]) in ("1", "true", "yes")
+        out = app.inference.predict(up.data, refine=refine)
         out["success"] = True
         return jsonify(out)
 

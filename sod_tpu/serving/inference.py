@@ -101,7 +101,12 @@ class SelfMaskInference:
         return restore_checkpoint(model_path)["params"]
 
     # ------------------------------------------------------------------
-    def predict(self, image: Union[Image.Image, bytes, io.BytesIO]) -> Dict:
+    def predict(self, image: Union[Image.Image, bytes, io.BytesIO],
+                refine: bool = False) -> Dict:
+        """:param refine: additionally run the fast bilateral solver over
+        the predicted mask (the BASELINE "bilateral-solver mask refinement"
+        configuration; ref ``bilateral_solver.py:152-193``) and attach
+        ``refined_mask`` (soft) + ``binary_mask`` PNGs."""
         if isinstance(image, bytes):
             image = Image.open(io.BytesIO(image))
         elif isinstance(image, io.BytesIO) or hasattr(image, "read"):
@@ -126,9 +131,18 @@ class SelfMaskInference:
         blended = (0.5 * np.asarray(image, np.float32)
                    + 0.5 * heat.astype(np.float32)).astype(np.uint8)
 
-        return {
+        out = {
             "original": _b64_png(image),
             "mask": _b64_png(mask_full.convert("L")),
             "heatmap": _b64_png(Image.fromarray(blended)),
             "objectness_scores": [float(o) for o in obj],
         }
+        if refine:
+            from sod_tpu.postprocess import bilateral_solver_output
+
+            soft, binary = bilateral_solver_output(image, mask_arr)
+            out["refined_mask"] = _b64_png(Image.fromarray(
+                (np.clip(soft, 0, 1) * 255).astype(np.uint8)))
+            out["binary_mask"] = _b64_png(Image.fromarray(
+                (binary.astype(np.uint8) * 255)))
+        return out
