@@ -19,6 +19,11 @@ import os
 import sys
 import time
 
+# persistent XLA compile cache — repeat bench runs skip the multi-minute
+# tunnel compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_sod_bench"))
+
 BATCH = 32
 IMG = 224
 ITERS = 20

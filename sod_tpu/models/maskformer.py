@@ -252,7 +252,8 @@ def forward_pixel_decoder(patch_tokens: jax.Array, grid_hw, cfg: MaskFormerConfi
 
 
 def maskformer_apply(params: dict, x: jax.Array, cfg: MaskFormerConfig,
-                     encoder_only: bool = False) -> Dict[str, jax.Array]:
+                     encoder_only: bool = False,
+                     fused: bool = False) -> Dict[str, jax.Array]:
     """Full forward (ref ``maskformer.py:164-251``).
 
     :param x: [B, H, W, 3] normalized images.
@@ -265,7 +266,12 @@ def maskformer_apply(params: dict, x: jax.Array, cfg: MaskFormerConfig,
     if cfg.arch == "vit_small":
         padded = make_input_divisible(x, cfg.vit.patch_size)
         gh, gw = padded.shape[1] // cfg.vit.patch_size, padded.shape[2] // cfg.vit.patch_size
-        memory = forward_encoder(params, x, cfg)              # [B, N, D]
+        if fused:
+            tokens = vit_apply(params["encoder"], x, cfg.vit,
+                               all_layers=False, fused=True)
+            memory = tokens[:, 1:, :]
+        else:
+            memory = forward_encoder(params, x, cfg)          # [B, N, D]
     else:
         memory, (gh, gw) = forward_encoder(params, x, cfg)
 

@@ -207,7 +207,8 @@ def _block_apply(bp: dict, x: jax.Array, cfg: ViTConfig,
 def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
               all_layers: bool = True,
               token_mask: Optional[jax.Array] = None,
-              pos_embed_override: Optional[jax.Array] = None) -> jax.Array:
+              pos_embed_override: Optional[jax.Array] = None,
+              fused: bool = False) -> jax.Array:
     """Run the encoder.
 
     :param x: [B, H, W, 3] images (already normalized).
@@ -219,8 +220,35 @@ def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
         excluded as attention keys, making the fixed-canvas computation
         exactly equal to running each image at its own padded-to-patch
         size.
+    :param fused: inference fast path — run each block as ONE Pallas
+        kernel (``sod_tpu.ops.fused_block``; every intermediate stays in
+        VMEM).  Falls back to the unfused path off-TPU or when a token
+        mask is present; not differentiable (training uses the unfused
+        path with the flash-attention custom VJP).
     """
     tokens, _ = prepare_tokens(params, x, cfg, pos_embed_override)
+
+    if fused and token_mask is None:
+        from sod_tpu.ops.fused_block import fused_available, fused_vit_block
+
+        if fused_available():
+            b, n, d = tokens.shape
+            n_pad = -(-n // 128) * 128
+            padded = tokens.astype(jnp.bfloat16)
+            if n_pad != n:
+                padded = jnp.pad(padded, ((0, 0), (0, n_pad - n), (0, 0)))
+
+            def fbody(carry, bp):
+                out = fused_vit_block(carry, bp, cfg.n_heads, n_real=n,
+                                      eps=cfg.ln_eps)
+                normed = (layer_norm(params["norm"], out[:, :n], cfg.ln_eps)
+                          if all_layers else 0.0)
+                return out, normed
+
+            final, per_layer = jax.lax.scan(fbody, padded, params["blocks"])
+            if all_layers:
+                return per_layer
+            return layer_norm(params["norm"], final[:, :n], cfg.ln_eps)
 
     def body(carry, bp):
         out = _block_apply(bp, carry, cfg, key_mask=token_mask)

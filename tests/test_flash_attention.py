@@ -56,3 +56,30 @@ def test_masked_kernel_interpret_matches_xla(rng):
     ref = _xla_attention(q, k, v, scale, key_mask=mask)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.skipif(not _HAS_PLTPU, reason="pallas tpu backend unavailable")
+def test_fused_block_interpret_matches_unfused(rng):
+    import jax.numpy as jnp
+
+    from sod_tpu.models.vit import ViTConfig, _block_apply, vit_init
+    from sod_tpu.ops.fused_block import fused_vit_block
+
+    cfg = ViTConfig(patch_size=8, embed_dim=128, depth=1, n_heads=2,
+                    pos_grid=4)
+    params = vit_init(jax.random.key(0), cfg)
+    bp = jax.tree.map(lambda a: a[0], params["blocks"])
+
+    n_real, n_pad = 100, 128
+    x = jnp.asarray(rng.randn(2, n_real, 128).astype(np.float32))
+    ref = _block_apply(bp, x, cfg)
+
+    xp = jnp.pad(x, ((0, 0), (0, n_pad - n_real), (0, 0))).astype(jnp.bfloat16)
+    bp16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), bp)
+    out = fused_vit_block(xp, bp16, cfg.n_heads, n_real=n_real,
+                          eps=cfg.ln_eps, interpret=True)
+    got = np.asarray(out[:, :n_real].astype(jnp.float32))
+    np.testing.assert_allclose(got, np.asarray(ref), atol=0.15, rtol=0.1)
+    # tighter check on correlation (bf16 noise dominates atol)
+    c = np.corrcoef(got.ravel(), np.asarray(ref).ravel())[0, 1]
+    assert c > 0.999
