@@ -47,7 +47,7 @@ def measure_tpu_ips() -> float:
     @jax.jit
     def forward_chain(params, x):
         def body(carry, _):
-            out = maskformer_apply(params, carry, mcfg)
+            out = maskformer_apply(params, carry, mcfg, fused=True)
             # select argmax-objectness query mask (inference semantics,
             # ref app.py:267-277) and feed a same-shaped tensor back to
             # serialize iterations

@@ -69,7 +69,7 @@ class SelfMaskInference:
 
         @jax.jit
         def forward(params, x):
-            out = maskformer_apply(params, x, mcfg)
+            out = maskformer_apply(params, x, mcfg, fused=True)
             obj = out["objectness"][:, -1, :, 0]
             best = jnp.argmax(obj, axis=-1)
             sel = jnp.take_along_axis(out["mask_pred"][:, -1],

@@ -78,7 +78,8 @@ def make_eval_step(cfg: Config,
 
     @jax.jit
     def eval_step(params, image):
-        out = maskformer_apply(params, image.astype(compute_dtype), mcfg)
+        out = maskformer_apply(params, image.astype(compute_dtype), mcfg,
+                               fused=True)
         mask_pred = out["mask_pred"][:, -1].astype(jnp.float32)   # [B, Q, h, w]
         objectness = out["objectness"][:, -1, :, 0].astype(jnp.float32)  # [B, Q]
         return {"mask_pred": mask_pred, "objectness": objectness}
