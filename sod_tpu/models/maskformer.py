@@ -306,7 +306,8 @@ def maskformer_apply_canvas(params: dict, x: jax.Array,
                             cfg: MaskFormerConfig,
                             token_mask: jax.Array,
                             pos_embed_override: jax.Array,
-                            grid_sizes: jax.Array) -> Dict[str, jax.Array]:
+                            grid_sizes: jax.Array,
+                            fused: bool = False) -> Dict[str, jax.Array]:
     """Fixed-canvas forward for variable-resolution batched evaluation.
 
     The reference evaluates each image at its own (padded-to-patch) original
@@ -335,7 +336,7 @@ def maskformer_apply_canvas(params: dict, x: jax.Array,
 
     tokens = vit_apply(params["encoder"], x, cfg.vit, all_layers=False,
                        token_mask=token_mask,
-                       pos_embed_override=pos_embed_override)
+                       pos_embed_override=pos_embed_override, fused=fused)
     memory = tokens[:, 1:, :]                                  # [B, N, D]
     patch_mask = token_mask[:, 1:]
 

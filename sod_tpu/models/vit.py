@@ -228,19 +228,24 @@ def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
     """
     tokens, _ = prepare_tokens(params, x, cfg, pos_embed_override)
 
-    if fused and token_mask is None:
+    if fused:
         from sod_tpu.ops.fused_block import fused_available, fused_vit_block
 
         if fused_available():
             b, n, d = tokens.shape
             n_pad = -(-n // 128) * 128
             padded = tokens.astype(jnp.bfloat16)
+            kmask = None
             if n_pad != n:
                 padded = jnp.pad(padded, ((0, 0), (0, n_pad - n), (0, 0)))
+            if token_mask is not None:
+                kmask = token_mask
+                if n_pad != n:
+                    kmask = jnp.pad(kmask, ((0, 0), (0, n_pad - n)))
 
             def fbody(carry, bp):
                 out = fused_vit_block(carry, bp, cfg.n_heads, n_real=n,
-                                      eps=cfg.ln_eps)
+                                      eps=cfg.ln_eps, key_mask=kmask)
                 normed = (layer_norm(params["norm"], out[:, :n], cfg.ln_eps)
                           if all_layers else 0.0)
                 return out, normed

@@ -41,7 +41,8 @@ except Exception:  # pragma: no cover
 
 def _kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
             ln2s, ln2b, wfc1, bfc1, wfc2, bfc2, o_ref, *,
-            n_heads: int, n_real: int, eps: float, scale: float):
+            n_heads: int, n_real: int, eps: float, scale: float,
+            mask_ref=None):
     x0 = x_ref[0].astype(jnp.float32)                     # [N, D]
     n, d = x0.shape
     hd = d // n_heads
@@ -59,6 +60,8 @@ def _kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
 
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     key_ok = col < n_real
+    if mask_ref is not None:
+        key_ok = key_ok & (mask_ref[0, 0][None, :] > 0)
 
     heads = []
     for i in range(n_heads):                              # static unroll
@@ -93,9 +96,22 @@ def _kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
     o_ref[0] = x2.astype(o_ref.dtype)
 
 
+def _masked_kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
+                   ln2s, ln2b, wfc1, bfc1, wfc2, bfc2, mask_ref, o_ref, *,
+                   n_heads: int, n_real: int, eps: float, scale: float):
+    _kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
+            ln2s, ln2b, wfc1, bfc1, wfc2, bfc2, o_ref,
+            n_heads=n_heads, n_real=n_real, eps=eps, scale=scale,
+            mask_ref=mask_ref)
+
+
 def fused_vit_block(x: jax.Array, bp: dict, n_heads: int, n_real: int,
-                    eps: float = 1e-6, interpret: bool = False) -> jax.Array:
-    """Apply one encoder block to padded tokens [B, N_pad, D] (bf16)."""
+                    eps: float = 1e-6, interpret: bool = False,
+                    key_mask=None) -> jax.Array:
+    """Apply one encoder block to padded tokens [B, N_pad, D] (bf16).
+
+    :param key_mask: optional [B, N_pad] bool — per-image token validity
+        (fixed-canvas eval); combined with the static ``n_real`` prefix."""
     b, n, d = x.shape
     assert n % 128 == 0, f"pad tokens to a multiple of 128, got {n}"
     hd = d // n_heads
@@ -120,11 +136,8 @@ def fused_vit_block(x: jax.Array, bp: dict, n_heads: int, n_real: int,
 
     hidden = bp["mlp"]["fc0"]["w"].shape[1]
     flops = 2 * b * n * d * (3 * d + d + 2 * hidden) + 4 * b * n * n * d
-    return pl.pallas_call(
-        functools.partial(_kernel, n_heads=n_heads, n_real=n_real,
-                          eps=eps, scale=scale),
+    common = dict(
         grid=(b,),
-        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
@@ -134,7 +147,19 @@ def fused_vit_block(x: jax.Array, bp: dict, n_heads: int, n_real: int,
             flops=flops, bytes_accessed=2 * b * n * d * 2,
             transcendentals=b * n * n + b * n * hidden),
         interpret=interpret,
-    )(x, *weights)
+    )
+    if key_mask is None:
+        return pl.pallas_call(
+            functools.partial(_kernel, n_heads=n_heads, n_real=n_real,
+                              eps=eps, scale=scale),
+            in_specs=in_specs, **common)(x, *weights)
+    mask = key_mask.astype(jnp.int32)[:, None, :]          # [B, 1, N]
+    mask_spec = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_masked_kernel, n_heads=n_heads, n_real=n_real,
+                          eps=eps, scale=scale),
+        in_specs=in_specs + [mask_spec], **common)(x, *weights, mask)
 
 
 def fused_available() -> bool:

@@ -132,7 +132,7 @@ class Evaluator:
             out = maskformer_apply_canvas(
                 params, image.astype(compute_dtype), mcfg,
                 token_mask=token_mask, pos_embed_override=pos_embed,
-                grid_sizes=grid_sizes)
+                grid_sizes=grid_sizes, fused=True)
             masks = out["mask_pred"][:, -1].astype(jnp.float32)  # [B,Q,2G,2G]
             # x4 bilinear upsample back to canvas resolution
             # (ref evaluator pyc 209-211: F.interpolate(scale_factor=4))

@@ -83,3 +83,35 @@ def test_fused_block_interpret_matches_unfused(rng):
     # tighter check on correlation (bf16 noise dominates atol)
     c = np.corrcoef(got.ravel(), np.asarray(ref).ravel())[0, 1]
     assert c > 0.999
+
+
+@pytest.mark.skipif(not _HAS_PLTPU, reason="pallas tpu backend unavailable")
+def test_fused_block_masked_interpret(rng):
+    import jax.numpy as jnp
+
+    from sod_tpu.models.vit import ViTConfig, _block_apply, vit_init
+    from sod_tpu.ops.fused_block import fused_vit_block
+
+    cfg = ViTConfig(patch_size=8, embed_dim=128, depth=1, n_heads=2,
+                    pos_grid=4)
+    params = vit_init(jax.random.key(0), cfg)
+    bp = jax.tree.map(lambda a: a[0], params["blocks"])
+
+    n = 128
+    x = jnp.asarray(rng.randn(2, n, 128).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, n) > 0.4)
+    mask = mask.at[:, 0].set(True)
+    ref = _block_apply(bp, x, cfg, key_mask=mask)
+
+    bp16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), bp)
+    out = fused_vit_block(x.astype(jnp.bfloat16), bp16, cfg.n_heads,
+                          n_real=n, eps=cfg.ln_eps, interpret=True,
+                          key_mask=mask)
+    got = np.asarray(out.astype(jnp.float32))
+    refn = np.asarray(ref)
+    valid = np.asarray(mask)
+    # compare only valid tokens (masked tokens are garbage in both paths
+    # but not identically so)
+    c = np.corrcoef(got[valid].ravel(), refn[valid].ravel())[0, 1]
+    assert c > 0.999
+    np.testing.assert_allclose(got[valid], refn[valid], atol=0.15, rtol=0.1)
