@@ -234,8 +234,6 @@ def criterion_forward(
 
     gt_sums = gt_flat.sum(-1)                               # [B, M]
 
-    dims = dict(B=b, L=l)
-
     if not use_classification_loss:
         # ---- LIVE branch: all-queries dice + ranking (pyc 1998-2526) ----
         # dice over every (layer, query, valid gt row)
@@ -357,7 +355,6 @@ def criterion_forward(
         "classification_loss": classification_loss,
     }
     out.update(diag)
-    del dims
     return out
 
 
