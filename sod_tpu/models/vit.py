@@ -231,9 +231,12 @@ def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
     if fused:
         from sod_tpu.ops.fused_block import fused_available, fused_vit_block
 
-        if fused_available():
-            b, n, d = tokens.shape
-            n_pad = -(-n // 128) * 128
+        b, n, d = tokens.shape
+        n_pad = -(-n // 128) * 128
+        # the whole-block kernel holds one [N, N] f32 score matrix in VMEM;
+        # beyond ~1024 tokens that no longer fits (the ~2.5k-token canvas
+        # eval) -> fall through to the flash-attention path below
+        if fused_available() and n_pad <= 1024:
             padded = tokens.astype(jnp.bfloat16)
             kmask = None
             if n_pad != n:
