@@ -234,6 +234,32 @@ def criterion_forward(
 
     gt_sums = gt_flat.sum(-1)                               # [B, M]
 
+    if objectness is None:
+        # the reference skips EVERY per-layer loss when no objectness is
+        # given (pyc 1562-1566: ``if batch_objectness is None: continue``)
+        # — with the non-binary-classifier model (which has no objectness
+        # head) training reduces to the contrastive term alone.  Matched
+        # exactly.
+        if features is not None and feature_labels is not None:
+            con = contrastive_loss(features, feature_labels, temperature,
+                                   valid=img_valid)
+        else:
+            con = jnp.float32(0.0)
+        zero = jnp.float32(0.0)
+        return {
+            "loss": weight_contrastive_loss * con / n_imgs,
+            "gt_to_query": jnp.zeros((b,), jnp.int32),
+            "avg_loss": zero,
+            "avg_contrastive_loss": con,
+            "dice_loss": zero,
+            "ranking_loss": zero,
+            "classification_loss": zero,
+            "avg_dice_loss": zero,
+            "avg_ranking_loss": zero,
+            "avg_classification_loss": zero,
+            "avg_iou": zero,
+        }
+
     if not use_classification_loss:
         # ---- LIVE branch: all-queries dice + ranking (pyc 1998-2526) ----
         # dice over every (layer, query, valid gt row)

@@ -208,3 +208,21 @@ def test_criterion_is_differentiable(rng):
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_no_objectness_contrastive_only(rng):
+    """With objectness=None the reference skips every per-layer loss
+    (pyc 1562-1566) — only the contrastive term survives."""
+    B, L, Q = 3, 2, 4
+    mask_pred = jnp.asarray(rng.rand(B, L, Q, 8, 8).astype(np.float32))
+    gt = jnp.asarray((rng.rand(B, 1, 8, 8) > 0.5).astype(np.float32))
+    feats = jnp.asarray(rng.randn(B, 16).astype(np.float32))
+    labels = jnp.asarray(np.array([1, 1, 2]))
+    out = criterion_forward(mask_pred, gt, jnp.ones((B, 1), bool), None,
+                            use_classification_loss=True,
+                            features=feats, feature_labels=labels)
+    assert float(out["dice_loss"]) == 0.0
+    assert float(out["classification_loss"]) == 0.0
+    assert float(out["avg_contrastive_loss"]) != 0.0
+    expected = 0.1 * float(out["avg_contrastive_loss"]) / B
+    np.testing.assert_allclose(float(out["loss"]), expected, rtol=1e-5)
