@@ -233,10 +233,10 @@ def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
 
         b, n, d = tokens.shape
         n_pad = -(-n // 128) * 128
-        # the whole-block kernel holds one [N, N] f32 score matrix in VMEM;
-        # beyond ~1024 tokens that no longer fits (the ~2.5k-token canvas
-        # eval) -> fall through to the flash-attention path below
-        if fused_available() and n_pad <= 1024:
+        # the kernel q-row-chunks its score/MLP buffers, handling up to
+        # ~3k tokens (canvas eval) within VMEM; beyond that fall through
+        # to the flash-attention path below
+        if fused_available() and n_pad <= 3072:
             padded = tokens.astype(jnp.bfloat16)
             kmask = None
             if n_pad != n:
