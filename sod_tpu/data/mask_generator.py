@@ -83,6 +83,7 @@ class MaskGenerator:
         self.seed = seed
         self._params = params or {}
         self._extractors = {}
+        self._cluster_fns = {}
 
     # ------------------------------------------------------------------
     def _get_params(self, feature_type: str):
@@ -135,6 +136,8 @@ class MaskGenerator:
         return extract
 
     def _cluster_fn(self, k: int):
+        if k in self._cluster_fns:
+            return self._cluster_fns[k]
         cluster = (spectral_cluster if self.cluster_type == "spectral"
                    else kmeans)
         seed = self.seed
@@ -146,6 +149,7 @@ class MaskGenerator:
             labels = jax.vmap(lambda f: cluster(f, k, seed=seed))(flat)
             return labels.reshape(b, gh, gw)
 
+        self._cluster_fns[k] = run
         return run
 
     # ------------------------------------------------------------------
