@@ -129,10 +129,13 @@ class Evaluator:
                 lambda a, b: pos_embed_canvas_device(table, a, b,
                                                      (gh_c, gw_c)))(gh, gw)
 
+            # flash-attention path: measured 73 ms/batch at canvas scale;
+            # the chunked fused kernel is available (fused=True) but not
+            # yet TPU-benchmarked at >1024 tokens
             out = maskformer_apply_canvas(
                 params, image.astype(compute_dtype), mcfg,
                 token_mask=token_mask, pos_embed_override=pos_embed,
-                grid_sizes=grid_sizes, fused=True)
+                grid_sizes=grid_sizes, fused=False)
             masks = out["mask_pred"][:, -1].astype(jnp.float32)  # [B,Q,2G,2G]
             # x4 bilinear upsample back to canvas resolution
             # (ref evaluator pyc 209-211: F.interpolate(scale_factor=4))
