@@ -233,10 +233,12 @@ def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
 
         b, n, d = tokens.shape
         n_pad = -(-n // 128) * 128
-        # the kernel q-row-chunks its score/MLP buffers, handling up to
-        # ~3k tokens (canvas eval) within VMEM; beyond that fall through
-        # to the flash-attention path below
-        if fused_available() and n_pad <= 3072:
+        # the fused kernel is the fast path up to ~1k tokens (training-shape
+        # inference).  Its chunked large-N variant is correct (interpret
+        # tests) but Mosaic compile time blows up at canvas scale (>25 min
+        # for the 5x6 unrolled chunk/head segments), so larger inputs take
+        # the flash-attention path below.
+        if fused_available() and n_pad <= 1024:
             padded = tokens.astype(jnp.bfloat16)
             kmask = None
             if n_pad != n:
