@@ -1,0 +1,153 @@
+"""Serving inference service + /predict with refine over HTTP (tiny model),
+and emailer/payments edge cases."""
+import io
+import json
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from sod_tpu.config import Config
+from sod_tpu.models.maskformer import MaskFormerConfig, maskformer_init
+from sod_tpu.models.vit import ViTConfig
+from sod_tpu.serving.app import create_app
+from sod_tpu.serving.db import Database
+from sod_tpu.serving.emailer import TokenStore
+from sod_tpu.serving.inference import SelfMaskInference, jet_colormap
+from sod_tpu.serving.payments import PLANS, PaymentProvider
+
+from tests.test_serving import Client  # reuse the WSGI test client
+
+
+def _tiny_inference():
+    cfg = Config(eval_image_size=32, compute_dtype="float32",
+                 use_pallas_attention=False)
+    mcfg = MaskFormerConfig(
+        n_queries=4, n_decoder_layers=2,
+        vit=ViTConfig(patch_size=8, embed_dim=32, depth=2, n_heads=2,
+                      pos_grid=4))
+    params = maskformer_init(__import__("jax").random.key(0), mcfg)
+    svc = SelfMaskInference(cfg=cfg, params=params, warmup=False)
+    svc.mcfg = mcfg
+    # rebuild forward with the tiny mcfg
+    import jax
+    import jax.numpy as jnp
+
+    from sod_tpu.models.maskformer import maskformer_apply
+
+    @jax.jit
+    def forward(params, x):
+        out = maskformer_apply(params, x, mcfg)
+        obj = out["objectness"][:, -1, :, 0]
+        best = jnp.argmax(obj, axis=-1)
+        sel = jnp.take_along_axis(out["mask_pred"][:, -1],
+                                  best[:, None, None, None], axis=1)[:, 0]
+        return sel.astype(jnp.float32), obj.astype(jnp.float32)
+
+    svc._forward = forward
+    return svc
+
+
+def _png(h=40, w=48):
+    img = np.full((h, w, 3), 25, np.uint8)
+    img[10:30, 12:40] = 210
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def app_client(tmp_path):
+    app = create_app(db=Database(":memory:"), load_model=False,
+                     upload_dir=str(tmp_path / "static"),
+                     secret_key="t")
+    app.inference = _tiny_inference()
+    c = Client(app)
+    st, r = c.post("/user_signup", json_body={
+        "name": "u", "email": "u@x.com", "password": "p", "phone": ""})
+    c.get(r["verify_url"])
+    return c
+
+
+def test_predict_http_roundtrip(app_client):
+    st, r = app_client.post("/predict", files={"image": ("a.png", _png())})
+    assert st == 200 and r["success"]
+    import base64
+
+    mask = Image.open(io.BytesIO(base64.b64decode(r["mask"])))
+    assert mask.size == (48, 40)          # original size restored
+    assert len(r["objectness_scores"]) == 4
+
+
+def test_predict_refine_http(app_client):
+    st, r = app_client.post("/predict?refine=1",
+                            files={"image": ("a.png", _png())})
+    assert st == 200 and r["success"]
+    assert "refined_mask" in r and "binary_mask" in r
+    import base64
+
+    binary = np.asarray(Image.open(
+        io.BytesIO(base64.b64decode(r["binary_mask"]))))
+    assert binary.shape == (40, 48)
+    assert set(np.unique(binary)) <= {0, 255}
+
+
+def test_inference_jet_colormap():
+    x = np.linspace(0, 1, 11).reshape(1, 11)
+    rgb = jet_colormap(x)
+    assert rgb.shape == (1, 11, 3)
+    assert rgb[0, 0, 2] > rgb[0, 0, 0]     # low values blue-ish
+    assert rgb[0, -1, 0] > rgb[0, -1, 2]   # high values red-ish
+
+
+# --------------------------- token / payment edges --------------------------
+
+def test_signup_token_expiry(monkeypatch):
+    store = TokenStore()
+    token = store.create_signup("n", "e@x.com", "hash", "")
+    store.pending_signups[token]["expires"] = time.time() - 1
+    assert store.pop_signup(token) is None
+    assert store.pop_signup("nonexistent") is None
+
+
+def test_otp_expiry_and_consume():
+    store = TokenStore()
+    otp = store.create_otp("e@x.com")
+    assert store.verify_otp("e@x.com", otp)
+    store.otps["e@x.com"] = (otp, time.time() - 1)
+    assert not store.verify_otp("e@x.com", otp)
+    otp2 = store.create_otp("e@x.com")
+    store.consume_otp("e@x.com")
+    assert not store.verify_otp("e@x.com", otp2)
+
+
+def test_payment_provider_stub():
+    p = PaymentProvider()
+    assert p.mode == "stub"
+    with pytest.raises(ValueError):
+        p.create_checkout_session("gold", 1, "/ok", "/no")
+    s = p.create_checkout_session("enterprise", 7, "/ok", "/no")
+    confirmed = p.confirm(s["id"])
+    assert confirmed == {"plan": "enterprise", "user_id": 7}
+    assert p.confirm("cs_stub_unknown") is None
+    assert PLANS["enterprise"]["upload_limit"] == 1500
+
+
+def test_expired_subscription_blocks(app_client):
+    """An Active-but-expired subscription must not grant uploads."""
+    db = app_client.app.db
+    db.execute(
+        "INSERT INTO subscription (Plan_Type, Start_Date, End_Date, Status, "
+        "Upload_Limit, Uploads_Used, Amount_Paid, Payment_Method, User_ID) "
+        "VALUES ('Basic', '2020-01-01', '2020-02-01', 'Active', 100, 0, "
+        "9.99, 'Stripe', 1)")
+    png = _png()
+    # free tier still applies (expired sub ignored): 3 uploads then 403
+    for i in range(3):
+        st, _ = app_client.post("/save_image_info",
+                                files={"image": (f"x{i}.png", png)})
+        assert st == 200
+    st, r = app_client.post("/save_image_info",
+                            files={"image": ("x4.png", png)})
+    assert st == 403
