@@ -19,12 +19,18 @@ from sod_tpu.models.maskformer import MaskFormerConfig, config_from, maskformer_
 
 
 def make_train_step(cfg: Config, tx: optax.GradientTransformation,
-                    mcfg: Optional[MaskFormerConfig] = None) -> Callable:
+                    mcfg: Optional[MaskFormerConfig] = None,
+                    accum_steps: int = 1) -> Callable:
     """Build the jitted train step.
 
     batch: {"image": [B, H, W, 3], "gt_masks": [B, M, Hm, Wm] float,
             "gt_valid": [B, M] bool, "labels": [B] int}
     returns (params, opt_state, metrics-dict).
+
+    :param accum_steps: gradient accumulation — B must be divisible by it;
+        the batch is split into ``accum_steps`` micro-batches scanned
+        inside the jit (grads averaged, ONE optimizer update), letting the
+        effective batch exceed what fits in HBM at once.
     """
     if mcfg is None:
         mcfg = config_from(cfg)
@@ -47,25 +53,54 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
         )
         return res["loss"], res
 
-    @jax.jit
-    def train_step(params, opt_state, batch):
-        (loss, res), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        gnorm = optax.global_norm(grads)
-        metrics = {
+    def _metrics(loss, res, grads):
+        return {
             "loss": loss,
             "dice_loss": res["avg_dice_loss"],
             "ranking_loss": res["avg_ranking_loss"],
             "classification_loss": res["avg_classification_loss"],
             "contrastive_loss": res["avg_contrastive_loss"],
             "iou": res["avg_iou"],
-            "grad_norm": gnorm,
+            "grad_norm": optax.global_norm(grads),
         }
-        return params, opt_state, metrics
 
-    return train_step
+    if accum_steps <= 1:
+        @jax.jit
+        def train_step(params, opt_state, batch):
+            (loss, res), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, _metrics(loss, res, grads)
+
+        return train_step
+
+    @jax.jit
+    def train_step_accum(params, opt_state, batch):
+        def micro(b):
+            return jax.tree.map(
+                lambda x: x.reshape((accum_steps, -1) + x.shape[1:]), b)
+
+        micro_batches = micro(batch)
+        grads0 = jax.tree.map(jnp.zeros_like, params)
+
+        def body(carry, mb):
+            acc, loss_acc = carry
+            (loss, res), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, mb)
+            acc = jax.tree.map(jnp.add, acc, grads)
+            return (acc, loss_acc + loss), res
+
+        (grads, loss_sum), all_res = jax.lax.scan(
+            body, (grads0, jnp.float32(0.0)), micro_batches)
+        grads = jax.tree.map(lambda g: g / accum_steps, grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        res_mean = jax.tree.map(lambda a: a.mean(axis=0), all_res)
+        return params, opt_state, _metrics(loss_sum / accum_steps,
+                                           res_mean, grads)
+
+    return train_step_accum
 
 
 def make_eval_step(cfg: Config,

@@ -130,3 +130,60 @@ def test_train_loss_decreases(workspace):
         params, opt_state, m = step(params, opt_state, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_grad_accumulation_matches_full_batch(workspace):
+    """accum_steps=2 over a batch must match the average of per-micro-batch
+    grads (same update as computing each half separately and averaging)."""
+    import jax.numpy as jnp
+
+    from sod_tpu.train.optim import build_optimizer
+    from sod_tpu.train.step import make_train_step
+
+    cfg, mcfg = tiny_setup(workspace, suffix="accum")
+    params = maskformer_init(jax.random.key(0), mcfg)
+    tx = build_optimizer(cfg, n_iters_per_epoch=100)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": rng.rand(4, 64, 64, 3).astype(np.float32),
+        "gt_masks": (rng.rand(4, 2, 64, 64) > 0.6).astype(np.float32),
+        "gt_valid": np.ones((4, 2), bool),
+        "labels": np.array([1, 1, 2, 2], np.int32),
+    }
+
+    step1 = make_train_step(cfg, tx, mcfg, accum_steps=1)
+    step2 = make_train_step(cfg, tx, mcfg, accum_steps=2)
+
+    pa, oa, ma = step2(params, tx.init(params), batch)
+    # reference: average the two half-batch grads manually via two
+    # accum_steps=1 calls on the halves and optax on the mean
+    import optax as _optax
+
+    from sod_tpu.train.step import make_train_step as _mts
+
+    def half(i):
+        hb = {k: v[2 * i:2 * i + 2] for k, v in batch.items()}
+        from sod_tpu.losses.criterion import criterion_forward
+        from sod_tpu.models.maskformer import maskformer_apply
+
+        def loss_fn(p):
+            out = maskformer_apply(p, jnp.asarray(hb["image"]), mcfg)
+            res = criterion_forward(
+                out["mask_pred"].astype(jnp.float32),
+                jnp.asarray(hb["gt_masks"]), jnp.asarray(hb["gt_valid"]),
+                out.get("objectness"), use_classification_loss=False,
+                features=out["features"].astype(jnp.float32),
+                feature_labels=jnp.asarray(hb["labels"]),
+                weight_contrastive_loss=cfg.weight_contrastive_loss,
+                temperature=cfg.temperature)
+            return res["loss"]
+        return jax.grad(loss_fn)(params)
+
+    g = jax.tree.map(lambda a, b: (a + b) / 2.0, half(0), half(1))
+    upd, _ = tx.update(g, tx.init(params), params)
+    pb = _optax.apply_updates(params, upd)
+
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
