@@ -238,7 +238,9 @@ def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
         # tests) but Mosaic compile time blows up at canvas scale (>25 min
         # for the 5x6 unrolled chunk/head segments), so larger inputs take
         # the flash-attention path below.
-        if fused_available() and n_pad <= 1024:
+        # (dim guard: ViT-B weights alone (~14 MB bf16) would overflow
+        # VMEM alongside activations — ViT-S/Ti only)
+        if fused_available() and n_pad <= 1024 and d <= 512:
             padded = tokens.astype(jnp.bfloat16)
             kmask = None
             if n_pad != n:
