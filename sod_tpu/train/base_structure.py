@@ -31,7 +31,9 @@ class BaseStructure:
                    else jnp.float32)
         mcfg_ = self.mcfg
 
-        @jax.jit
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=(2,))
         def fwd(params, x, encoder_only):
             return maskformer_apply(params, x.astype(compute), mcfg_,
                                     encoder_only=encoder_only)
