@@ -96,6 +96,10 @@ class DataLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.shard_by_process:
+            import jax
+
+            n = len(range(jax.process_index(), n, jax.process_count()))
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -118,14 +122,28 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded put that aborts when the consumer walked away
+            (mid-epoch break, e.g. Trainer debug) — a plain ``q.put``
+            would block forever on a full queue and leak this thread and
+            its pool per abandoned epoch."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for idxs in batches:
                     if stop.is_set():
                         return
                     samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(self.collate_fn(samples))
-            q.put(_END)
+                    if not put(self.collate_fn(samples)):
+                        return
+            put(_END)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -70,10 +70,12 @@ def create_app(cfg=None, model_path: Optional[str] = None,
                db: Optional[Database] = None,
                upload_dir: Optional[str] = None,
                load_model: bool = True,
-               secret_key: Optional[str] = None) -> App:
+               secret_key: Optional[str] = None,
+               allow_default_admin: bool = False) -> App:
     app = App(secret_key=secret_key or os.environ.get("SOD_SECRET_KEY",
                                                       secrets.token_hex(16)),
               static_dir=upload_dir or "static", static_url="/static/")
+    app.allow_default_admin = allow_default_admin
     db = db or open_database()
     emailer = Emailer()
     tokens = TokenStore()
@@ -177,7 +179,20 @@ def create_app(cfg=None, model_path: Optional[str] = None,
     @app.route("/admin_login", methods=["POST"])
     def admin_login(req: Request):
         """ref app.py:1636-1696: fixed-credential admin that self-inserts
-        into the admin table on first login."""
+        into the admin table on first login.
+
+        Fail-closed deviation: the reference ships a@gmail.com/111 as the
+        fixed credentials; here admin login is DISABLED unless
+        ``SOD_ADMIN_PASSWORD`` is set explicitly (or the deployment opts
+        into the reference defaults with ``SOD_ALLOW_DEFAULT_ADMIN=1`` —
+        tests and local dev do).
+        """
+        if not (os.environ.get("SOD_ADMIN_PASSWORD")
+                or os.environ.get("SOD_ALLOW_DEFAULT_ADMIN") == "1"
+                or getattr(app, "allow_default_admin", False)):
+            raise HTTPError(403, "Admin login disabled: set "
+                                 "SOD_ADMIN_PASSWORD (or "
+                                 "SOD_ALLOW_DEFAULT_ADMIN=1 for dev)")
         data = req.get_json() or req.form
         email = data.get("email", "").strip().lower()
         password = data.get("password", "")
@@ -345,6 +360,17 @@ def create_app(cfg=None, model_path: Optional[str] = None,
                or (req.get_json() or {}).get("session_id"))
         if not sid:
             raise HTTPError(400, "session_id required")
+        # One-shot confirmation: a session_id creates at most ONE
+        # subscription (the reference re-inserts a fresh 30-day sub on
+        # every call, ref app.py:3101-3182 — replayable).  Re-visits of
+        # the success URL are idempotent.
+        existing = db.query_one(
+            "SELECT * FROM subscription WHERE Session_ID=%s", (sid,))
+        if existing is not None:
+            return jsonify({"success": True, "already_processed": True,
+                            "subscription_id": existing["Subscription_ID"],
+                            "plan": existing["Plan_Type"],
+                            "valid_until": existing["End_Date"]})
         confirmed = payments.confirm(sid)
         if confirmed is None:
             raise HTTPError(400, "Payment not completed")
@@ -354,10 +380,11 @@ def create_app(cfg=None, model_path: Optional[str] = None,
         sub_id = db.execute(
             "INSERT INTO subscription (Plan_Type, Start_Date, End_Date, "
             "Status, Upload_Limit, Uploads_Used, Amount_Paid, "
-            "Payment_Method, User_ID) VALUES (%s, %s, %s, 'Active', %s, 0, "
-            "%s, 'Stripe', %s)",
+            "Payment_Method, User_ID, Session_ID) VALUES (%s, %s, %s, "
+            "'Active', %s, 0, %s, 'Stripe', %s, %s)",
             (plan["name"], start.isoformat(), end.isoformat(),
-             plan["upload_limit"], plan["price_usd"], confirmed["user_id"]))
+             plan["upload_limit"], plan["price_usd"], confirmed["user_id"],
+             sid))
         return jsonify({"success": True, "subscription_id": sub_id,
                         "plan": plan["name"], "valid_until": end.isoformat()})
 
@@ -584,6 +611,9 @@ def main():  # pragma: no cover
     p.add_argument("--model", type=str, default=None)
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--no-model", action="store_true")
+    p.add_argument("--allow-default-admin", action="store_true",
+                   help="enable the reference's fixed admin credentials "
+                        "(dev only; otherwise set SOD_ADMIN_PASSWORD)")
     args = p.parse_args()
 
     cfg = None
@@ -592,7 +622,8 @@ def main():  # pragma: no cover
 
         cfg = load_config(args.config)
     app = create_app(cfg=cfg, model_path=args.model,
-                     load_model=not args.no_model)
+                     load_model=not args.no_model,
+                     allow_default_admin=args.allow_default_admin)
     print(f"serving on http://0.0.0.0:{args.port}")
     make_server("0.0.0.0", args.port, app).serve_forever()
 

@@ -40,7 +40,28 @@ class Database:
         ``app.py:95-142``, extended to the full sod.sql schema)."""
         with open(_SCHEMA) as f:
             self._conn().executescript(f.read())
+        self._migrate()
         self._conn().commit()
+
+    _MIGRATIONS = {  # columns added after round 1 (nullable — sqlite's
+        # ALTER ADD cannot carry a non-constant default)
+        "user_management": [("created_at", "TIMESTAMP")],
+        "image": [("uploaded_at", "TIMESTAMP")],
+        "result": [("processed_at", "TIMESTAMP")],
+        "subscription": [("Session_ID", "VARCHAR(255)")],
+        "feedback": [("Result_ID", "INTEGER"), ("created_at", "TIMESTAMP")],
+    }
+
+    def _migrate(self) -> None:
+        """Bring a pre-existing sod.db up to the current schema."""
+        conn = self._conn()
+        for table, cols in self._MIGRATIONS.items():
+            have = {r[1] for r in
+                    conn.execute(f"PRAGMA table_info({table})")}
+            for name, decl in cols:
+                if name not in have:
+                    conn.execute(
+                        f"ALTER TABLE {table} ADD COLUMN {name} {decl}")
 
     # --- query helpers ------------------------------------------------------
     @staticmethod

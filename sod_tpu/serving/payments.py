@@ -71,15 +71,21 @@ class PaymentProvider:
                 "url": f"{success_url}?session_id={sid}", "mode": "stub"}
 
     def confirm(self, session_id: str) -> Optional[Dict]:
-        """Resolve a (stub or stripe) session to {plan, user_id} if paid."""
+        """Resolve a (stub or stripe) session to {plan, user_id} if paid.
+
+        One-shot for stub sessions: the session is consumed (popped) so a
+        session_id cannot mint more than one subscription.  Stripe
+        sessions stay retrievable server-side, so the caller must also
+        dedupe on the persisted ``subscription.Session_ID`` (the app layer
+        does — see ``/payment-success``).
+        """
         if self._stripe and not session_id.startswith("cs_stub_"):
             s = self._stripe.checkout.Session.retrieve(session_id)
             if s.payment_status == "paid":
                 return {"plan": s.metadata["plan"],
                         "user_id": int(s.metadata["user_id"])}
             return None
-        s = self._stub_sessions.get(session_id)
+        s = self._stub_sessions.pop(session_id, None)
         if s is None:
             return None
-        s["paid"] = True
         return {"plan": s["plan"], "user_id": s["user_id"]}

@@ -31,6 +31,14 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
         the batch is split into ``accum_steps`` micro-batches scanned
         inside the jit (grads averaged, ONE optimizer update), letting the
         effective batch exceed what fits in HBM at once.
+
+        Semantics are deliberately *averaged-micro-loss*, not exact
+        full-batch equivalence: the supervised-InfoNCE term sees only the
+        micro-batch's negatives, and each micro loss is normalised by its
+        own valid-image count.  ``tests/test_train_e2e.py`` asserts
+        exactly this property (accum grads == mean of per-micro-batch
+        grads); with ``weight_contrastive_loss=0`` and uniform valid
+        counts it coincides with the full-batch loss.
     """
     if mcfg is None:
         mcfg = config_from(cfg)

@@ -81,7 +81,7 @@ class Client:
 def client(tmp_path):
     app = create_app(db=Database(":memory:"), load_model=False,
                      upload_dir=str(tmp_path / "static"),
-                     secret_key="test-secret")
+                     secret_key="test-secret", allow_default_admin=True)
     return Client(app)
 
 
@@ -172,6 +172,39 @@ def test_upload_quota_and_subscription(client):
     assert st == 200
     st, r = client.get("/get_payment_info")
     assert r["uploads_used"] == 1
+
+
+def test_payment_success_not_replayable(client):
+    """One paid session_id mints exactly ONE subscription (ADVICE r1:
+    the ref re-inserts a 30-day sub on every /payment-success call)."""
+    _signup_and_login(client)
+    st, r = client.post("/create-checkout-session",
+                        json_body={"plan": "pro"})
+    sid = r["id"]
+    st, r1 = client.get(f"/payment-success?session_id={sid}")
+    assert st == 200 and r1["success"]
+    st, r2 = client.get(f"/payment-success?session_id={sid}")
+    assert st == 200 and r2.get("already_processed") is True
+    assert r2["subscription_id"] == r1["subscription_id"]
+    db = client.app.db
+    assert db.scalar("SELECT COUNT(*) FROM subscription") == 1
+    # an unknown/never-paid session id confirms nothing
+    st, _ = client.get("/payment-success?session_id=cs_stub_bogus")
+    assert st == 400
+
+
+def test_admin_login_fail_closed(tmp_path, monkeypatch):
+    """Without SOD_ADMIN_PASSWORD / explicit opt-in, the reference's
+    fixed default credentials must NOT work (ADVICE r1)."""
+    monkeypatch.delenv("SOD_ADMIN_PASSWORD", raising=False)
+    monkeypatch.delenv("SOD_ALLOW_DEFAULT_ADMIN", raising=False)
+    app = create_app(db=Database(":memory:"), load_model=False,
+                     upload_dir=str(tmp_path / "s2"), secret_key="t",
+                     allow_default_admin=False)
+    c = Client(app)
+    st, r = c.post("/admin_login", json_body={"email": "a@gmail.com",
+                                              "password": "111"})
+    assert st == 403
 
 
 def test_upload_rejects_bad_extension(client):
