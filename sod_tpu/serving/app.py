@@ -409,27 +409,60 @@ def create_app(cfg=None, model_path: Optional[str] = None,
     @app.route("/submit_feedback", methods=["POST"])
     @login_required
     def submit_feedback(req: Request):
+        """ref app.py:2666-2771: accepts the ref's form field names
+        (``Feedback_Type``/``rating``/``Feedback_Text``/``result_id``) and
+        the simpler type/text JSON shape; 'result'-type feedback resolves
+        and validates the user's Result_ID."""
         data = req.get_json() or req.form
-        rating = int(data.get("rating", 0))
+        user_id = req.session["user_id"]
+        ftype = (data.get("Feedback_Type") or data.get("type")
+                 or "general").strip().lower()
+        if ftype not in ("general", "result", "bug", "suggestion"):
+            raise HTTPError(400, "Invalid feedback type. Must be one of: "
+                                 "general, result, bug, suggestion")
+        try:
+            rating = int(data.get("rating", 0))
+        except (TypeError, ValueError):
+            rating = 0
         if not 1 <= rating <= 5:
-            raise HTTPError(400, "rating must be 1-5")
+            raise HTTPError(400, "Rating must be between 1 and 5")
+        text = data.get("Feedback_Text") or data.get("text") or ""
+        result_id = data.get("result_id")
+        if ftype == "result":
+            if not result_id:   # most recent result (ref app.py:2705-2718)
+                row = db.query_one(
+                    "SELECT Result_ID FROM result WHERE User_ID=%s "
+                    "ORDER BY processed_at DESC LIMIT 1", (user_id,))
+                if row is None:
+                    raise HTTPError(400, "No recent results found for "
+                                         "result feedback")
+                result_id = row["Result_ID"]
+            elif db.query_one(
+                    "SELECT Result_ID FROM result WHERE Result_ID=%s AND "
+                    "User_ID=%s", (result_id, user_id)) is None:
+                raise HTTPError(400, "Invalid result ID")
+        else:
+            result_id = None
         fid = db.execute(
             "INSERT INTO feedback (Rating, Feedback_Type, Feedback_Text, "
-            "User_ID) VALUES (%s, %s, %s, %s)",
-            (rating, data.get("type", "general"), data.get("text", ""),
-             req.session["user_id"]))
-        return jsonify({"success": True, "feedback_id": fid})
+            "User_ID, Result_ID) VALUES (%s, %s, %s, %s, %s)",
+            (rating, ftype, text, user_id, result_id))
+        return jsonify({"success": True, "feedback_id": fid,
+                        "message": "Feedback submitted successfully!"})
 
     @app.route("/get_feedback")
     @login_required
     def get_feedback(req: Request):
+        """ref app.py:2774-2814: the caller's own feedback, newest first."""
         rows = db.query(
-            "SELECT f.*, u.Name FROM feedback f LEFT JOIN user_management u "
-            "ON f.User_ID = u.User_ID ORDER BY f.Feedback_ID DESC")
-        return jsonify({"feedback": rows})
+            "SELECT Feedback_ID, Rating, Feedback_Type, Feedback_Text, "
+            "User_ID, Result_ID FROM feedback WHERE User_ID = %s "
+            "ORDER BY Feedback_ID DESC", (req.session.get("user_id"),))
+        return jsonify({"success": True, "data": rows, "feedback": rows})
 
     # ======================================================================
-    # admin analytics APIs (ref app.py:1705-2664, 3218-3797)
+    # admin analytics APIs (ref app.py:1705-2664, 3218-3797) — the full
+    # route-for-route surface lives in sod_tpu/serving/analytics.py
     # ======================================================================
     def admin_required(fn):
         def wrapper(req: Request, *a, **kw):
@@ -441,19 +474,15 @@ def create_app(cfg=None, model_path: Optional[str] = None,
         wrapper.__name__ = fn.__name__
         return wrapper
 
-    @app.route("/api/data/<table>")
-    @admin_required
-    def api_table(req: Request, table: str):
-        try:
-            rows = db.table_rows(table)
-        except ValueError:
-            raise HTTPError(403, "Table not allowed")
-        return jsonify({"table": table, "rows": rows, "count": len(rows)})
+    from sod_tpu.serving.analytics import register_analytics
+
+    register_analytics(app, db)
 
     @app.route("/api/overview")
     @admin_required
     def api_overview(req: Request):
-        """ref app.py:1821-1880: headline counts for the dashboard."""
+        """Round-1 alias of ref /api/stats/overview (app.py:1821-1880)
+        kept for the admin dashboard; adds admin count."""
         return jsonify({
             "total_users": db.scalar("SELECT COUNT(*) FROM user_management"),
             "total_images": db.scalar("SELECT COUNT(*) FROM image"),
@@ -468,62 +497,10 @@ def create_app(cfg=None, model_path: Optional[str] = None,
             "total_admins": db.scalar("SELECT COUNT(*) FROM admin"),
         })
 
-    @app.route("/api/analytics/users")
-    @admin_required
-    def api_users(req: Request):
-        return jsonify({
-            "total": db.scalar("SELECT COUNT(*) FROM user_management"),
-            "with_subscriptions": db.scalar(
-                "SELECT COUNT(DISTINCT User_ID) FROM subscription"),
-            "with_uploads": db.scalar(
-                "SELECT COUNT(DISTINCT user_id) FROM image"),
-            "top_uploaders": db.query(
-                "SELECT u.Name, COUNT(i.image_id) AS uploads FROM "
-                "user_management u LEFT JOIN image i ON i.user_id=u.User_ID "
-                "GROUP BY u.User_ID ORDER BY uploads DESC LIMIT 10"),
-        })
-
-    @app.route("/api/analytics/images")
-    @admin_required
-    def api_images(req: Request):
-        return jsonify({
-            "total": db.scalar("SELECT COUNT(*) FROM image"),
-            "by_type": db.query(
-                "SELECT file_type, COUNT(*) AS count FROM image "
-                "GROUP BY file_type ORDER BY count DESC"),
-            "total_size_kb": db.scalar(
-                "SELECT COALESCE(SUM(file_size), 0) FROM image"),
-            "avg_size_kb": db.scalar("SELECT AVG(file_size) FROM image"),
-        })
-
-    @app.route("/api/analytics/results")
-    @admin_required
-    def api_results(req: Request):
-        return jsonify({
-            "total": db.scalar("SELECT COUNT(*) FROM result"),
-            "per_user": db.query(
-                "SELECT User_ID, COUNT(*) AS count FROM result "
-                "GROUP BY User_ID ORDER BY count DESC LIMIT 10"),
-        })
-
-    @app.route("/api/analytics/subscriptions")
-    @admin_required
-    def api_subscriptions(req: Request):
-        return jsonify({
-            "by_plan": db.query(
-                "SELECT Plan_Type, COUNT(*) AS count, "
-                "COALESCE(SUM(Amount_Paid), 0) AS revenue FROM subscription "
-                "GROUP BY Plan_Type"),
-            "by_status": db.query(
-                "SELECT Status, COUNT(*) AS count FROM subscription "
-                "GROUP BY Status"),
-            "total_revenue": db.scalar(
-                "SELECT COALESCE(SUM(Amount_Paid), 0) FROM subscription"),
-        })
-
     @app.route("/api/analytics/feedback")
     @admin_required
     def api_feedback(req: Request):
+        """Round-1 alias — the ref name is /api/feedback/analytics."""
         return jsonify({
             "total": db.scalar("SELECT COUNT(*) FROM feedback"),
             "average_rating": db.scalar("SELECT AVG(Rating) FROM feedback"),
@@ -555,21 +532,7 @@ def create_app(cfg=None, model_path: Optional[str] = None,
                 "SELECT * FROM feedback ORDER BY Feedback_ID DESC LIMIT 10"),
         })
 
-    @app.route("/api/visualization/<kind>")
-    @admin_required
-    def api_visualization(req: Request, kind: str):
-        """Legacy viz endpoints (ref app.py:3218-3797) — map to analytics."""
-        mapping = {
-            "users": api_users, "images": api_images,
-            "results": api_results, "subscriptions": api_subscriptions,
-            "feedback": api_feedback, "overview": api_overview,
-        }
-        fn = mapping.get(kind)
-        if fn is None:
-            raise HTTPError(404, f"Unknown visualization: {kind}")
-        return fn(req)
-
-    @app.route("/hash_passwords", methods=["POST"])
+    @app.route("/hash_passwords", methods=["GET", "POST"])
     @admin_required
     def hash_passwords(req: Request):
         """Migration helper (ref app.py:2524): hash any plaintext passwords."""

@@ -247,7 +247,9 @@ def test_admin_analytics(client):
 
     st, r = admin.get("/api/data/user_management")
     assert st == 200
-    assert r["rows"][0]["Password"] == "********"   # masked
+    # masked per ref app.py:1747-1751: first 4 chars kept, rest starred
+    masked = r["rows"][0]["Password"]
+    assert set(masked[4:]) == {"*"} and len(masked) > 4
     st, r = admin.get("/api/data/sqlite_master")
     assert st == 403
 
