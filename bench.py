@@ -70,11 +70,16 @@ def measure_tpu_ips() -> float:
 
 def measure_torch_cpu_ips() -> float:
     """Equivalent-architecture torch-CPU forward (the reference's runtime is
-    torch; built from torch.nn primitives, not copied code)."""
+    torch; built from torch.nn primitives, not copied code).
+
+    Measured properly (VERDICT r1 weak item 3): 2 warmup passes, then at
+    least 10 s / 5 iterations of batch-8 forwards.  Cached under a "v2"
+    key so round-1's 3-iteration number is discarded.
+    """
     if os.path.exists(_CACHE):
         try:
             with open(_CACHE) as f:
-                return float(json.load(f)["torch_cpu_ips"])
+                return float(json.load(f)["torch_cpu_ips_v2"])
         except Exception:
             pass
     import torch
@@ -136,21 +141,75 @@ def measure_torch_cpu_ips() -> float:
             return masks, obj
 
     model = Model().eval()
-    x = torch.zeros(4, 3, IMG, IMG)
+    b = 8                              # the reference's training batch size
+    x = torch.randn(b, 3, IMG, IMG)
     with torch.no_grad():
         model(x)                       # warmup
-        t = time.perf_counter()
-        n_iters = 3
-        for _ in range(n_iters):
+        model(x)
+        t0 = time.perf_counter()
+        n_iters = 0
+        while True:
             model(x)
-        dt = time.perf_counter() - t
-    ips = 4 * n_iters / dt
+            n_iters += 1
+            dt = time.perf_counter() - t0
+            if dt >= 10.0 and n_iters >= 5:
+                break
+    ips = b * n_iters / dt
     try:
         with open(_CACHE, "w") as f:
-            json.dump({"torch_cpu_ips": ips}, f)
+            json.dump({"torch_cpu_ips_v2": ips, "batch": b,
+                       "iters": n_iters, "seconds": dt}, f)
     except Exception:
         pass
     return ips
+
+
+def measure_train_ips(batch: int = 32) -> float:
+    """Full train-step throughput (fwd + criterion + bwd + AdamW in one
+    jit), reported via ``--train`` (the driver's contract is ONE JSON line,
+    so this is opt-in; measured numbers are recorded in CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sod_tpu.config import Config
+    from sod_tpu.models.maskformer import config_from, maskformer_init
+    from sod_tpu.train.optim import build_optimizer
+    from sod_tpu.train.step import make_train_step
+
+    cfg = Config(batch_size=batch, remat=True)
+    mcfg = config_from(cfg)
+    params = maskformer_init(jax.random.key(0), mcfg)
+    tx = build_optimizer(cfg, n_iters_per_epoch=100)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, tx, mcfg)
+    rng = np.random.RandomState(0)
+    data = {
+        "image": jnp.asarray(rng.rand(batch, IMG, IMG, 3), jnp.float32),
+        "gt_masks": jnp.asarray(
+            (rng.rand(batch, cfg.max_gt_masks, IMG, IMG) > 0.5), jnp.float32),
+        "gt_valid": jnp.ones((batch, cfg.max_gt_masks), bool),
+        "labels": jnp.asarray(rng.randint(0, 10000, size=(batch,))),
+    }
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def run_n(params, opt_state, data, n):
+        def body(carry, _):
+            p, o = carry
+            p, o, m = step(p, o, data)
+            return (p, o), m["loss"]
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=n)
+        return params, opt_state, losses[-1]
+
+    p, o, loss = run_n(params, opt_state, data, 3)
+    float(loss)
+    t0 = time.perf_counter()
+    p, o, loss = run_n(p, o, data, ITERS)
+    float(loss)
+    return batch * ITERS / (time.perf_counter() - t0)
 
 
 def main():
@@ -167,6 +226,14 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(vs, 3) if vs is not None else None,
     }))
+    if "--train" in sys.argv:
+        train_ips = measure_train_ips()
+        print(json.dumps({
+            "metric": "train_step_images_per_sec_per_chip",
+            "value": round(train_ips, 2),
+            "unit": "images/sec",
+            "vs_baseline": None,
+        }))
 
 
 if __name__ == "__main__":

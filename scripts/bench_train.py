@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Train-step throughput sweep on the real chip (VERDICT r1 item 3).
+
+Times the FULL train step (fwd + criterion + bwd + AdamW in one jit) for a
+matrix of {batch size} x {remat policy} on the flagship config
+(ViT-S/8 @ 224 px, nq20/ndl6, bf16, flash attention).
+
+Through the axon tunnel ``block_until_ready`` does not wait, so steps are
+chained inside one jit via ``lax.scan`` and synced by fetching a scalar
+(CLAUDE.md environment quirks).
+"""
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sod_tpu.config import Config
+from sod_tpu.models.maskformer import config_from, maskformer_init
+from sod_tpu.train.optim import build_optimizer
+from sod_tpu.train.step import make_train_step
+
+
+def bench_step(batch_size: int, steps: int = 20, remat: str = "none",
+               warmup: int = 3, mode: str = "full") -> float:
+    """mode: full = fwd+criterion+bwd+AdamW; fwd = model fwd only;
+    fwdloss = fwd+criterion (no grad); enc = encoder grad only."""
+    cfg = Config(batch_size=batch_size, remat=(remat != "none"))
+    mcfg = config_from(cfg)
+    params = maskformer_init(jax.random.key(0), mcfg)
+    tx = build_optimizer(cfg, n_iters_per_epoch=100)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, tx, mcfg)
+
+    rng = np.random.RandomState(0)
+    b = batch_size
+    batch = {
+        "image": jnp.asarray(rng.rand(b, 224, 224, 3), jnp.float32),
+        "gt_masks": jnp.asarray((rng.rand(b, cfg.max_gt_masks, 224, 224)
+                                 > 0.5), jnp.float32),
+        "gt_valid": jnp.ones((b, cfg.max_gt_masks), bool),
+        "labels": jnp.asarray(rng.randint(0, 10000, size=(b,))),
+    }
+
+    if mode == "full":
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def run_n(params, opt_state, batch, n):
+            def body(carry, _):
+                p, o = carry
+                p, o, m = step(p, o, batch)
+                return (p, o), m["loss"]
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=n)
+            return params, opt_state, losses[-1]
+    else:
+        from sod_tpu.losses.criterion import criterion_forward
+        from sod_tpu.models.maskformer import maskformer_apply
+
+        compute_dtype = jnp.bfloat16
+
+        def loss_of(p, batch):
+            out = maskformer_apply(
+                p, batch["image"].astype(compute_dtype), mcfg, train=True)
+            if mode == "fwd":
+                return out["mask_pred"].astype(jnp.float32).sum()
+            res = criterion_forward(
+                out["mask_pred"].astype(jnp.float32),
+                batch["gt_masks"].astype(jnp.float32), batch["gt_valid"],
+                out.get("objectness"), use_classification_loss=False,
+                features=out["features"].astype(jnp.float32),
+                feature_labels=batch["labels"],
+                weight_contrastive_loss=cfg.weight_contrastive_loss,
+                temperature=cfg.temperature)
+            return res["loss"]
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def run_n(params, opt_state, batch, n):
+            def body(carry, _):
+                if mode in ("fwd", "fwdloss"):
+                    v = loss_of(params, batch)
+                else:                       # enc: grad wrt encoder only
+                    v = jax.grad(lambda e: loss_of(
+                        {**params, "encoder": e}, batch))(
+                        params["encoder"])["cls_token"].sum()
+                return carry, v
+
+            _, vals = jax.lax.scan(body, 0, None, length=n)
+            return params, opt_state, vals[-1].sum()
+
+    # warmup / compile
+    p, o, loss = run_n(params, opt_state, batch, warmup)
+    _ = float(jnp.sum(loss))
+    t0 = time.perf_counter()
+    p, o, loss = run_n(p, o, batch, steps)
+    _ = float(jnp.sum(loss))           # sync through the tunnel
+    dt = (time.perf_counter() - t0) / steps
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="+", default=[8, 16, 32])
+    ap.add_argument("--remat", nargs="+", default=["none"])
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--modes", nargs="+", default=["full"])
+    args = ap.parse_args()
+
+    print(f"devices: {jax.devices()}")
+    for mode in args.modes:
+        for remat in args.remat:
+            for b in args.batches:
+                try:
+                    dt = bench_step(b, steps=args.steps, remat=remat,
+                                    mode=mode)
+                    print(f"B={b:3d} mode={mode:8s} remat={remat:6s} "
+                          f"{dt * 1e3:8.2f} ms/step  {b / dt:8.1f} img/s",
+                          flush=True)
+                except Exception as e:  # noqa: BLE001
+                    print(f"B={b:3d} mode={mode:8s} remat={remat:6s} "
+                          f"FAILED: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

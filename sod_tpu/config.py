@@ -88,6 +88,8 @@ class Config:
     compute_dtype: str = "bfloat16"   # matmul/compute dtype on TPU
     param_dtype: str = "float32"      # parameter storage dtype
     use_pallas_attention: bool = True  # fused flash-attention kernel on TPU
+    remat: bool = False               # checkpoint encoder blocks in the
+                                      # backward (bigger train batches)
     mesh_data_axis: int = 1           # data-parallel mesh size (1 = single chip)
     max_gt_masks: int = 8             # static padding for ragged pseudo-mask stacks
 

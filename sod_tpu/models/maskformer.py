@@ -91,7 +91,8 @@ def config_from(cfg) -> "MaskFormerConfig":
         lateral_connection=cfg.lateral_connection,
         return_intermediate=cfg.loss_every_decoder_layer,
         vit=vit_small(patch_size=cfg.patch_size,
-                      use_flash=cfg.use_pallas_attention),
+                      use_flash=cfg.use_pallas_attention,
+                      remat=getattr(cfg, "remat", False)),
     )
 
 
@@ -179,12 +180,17 @@ def maskformer_init(rng: jax.Array, cfg: MaskFormerConfig,
 
 
 def forward_encoder(params: dict, x: jax.Array, cfg: MaskFormerConfig,
-                    all_layers: bool = False):
+                    all_layers: bool = False, train: bool = False,
+                    bn_stats: dict = None):
     """Return patch tokens.
 
     vit: [B, N, D] last-layer patch tokens (CLS dropped), or [L, B, N, D]
     when ``all_layers`` (ref ``maskformer.py:99-113``).
     resnet50: [B, h*w, D] adapted res5 features + their (h, w).
+
+    :param train: resnet path only — live BatchNorm statistics (the
+        reference fine-tunes the encoder under ``model.train()``,
+        ``utils/misc.py:187-188``); updated buffers land in ``bn_stats``.
     """
     if cfg.arch == "vit_small":
         if all_layers:
@@ -195,7 +201,8 @@ def forward_encoder(params: dict, x: jax.Array, cfg: MaskFormerConfig,
     else:
         from sod_tpu.models.resnet import resnet50_apply
 
-        feats = resnet50_apply(params["encoder"], x)["res5"]  # [B, h, w, C]
+        feats = resnet50_apply(params["encoder"], x, train=train,
+                               stats=bn_stats)["res5"]         # [B, h, w, C]
         feats = linear(params["linear_layer"], feats)          # [B, h, w, D]
         b, h, w, d = feats.shape
         return feats.reshape(b, h * w, d), (h, w)
@@ -253,16 +260,22 @@ def forward_pixel_decoder(patch_tokens: jax.Array, grid_hw, cfg: MaskFormerConfi
 
 def maskformer_apply(params: dict, x: jax.Array, cfg: MaskFormerConfig,
                      encoder_only: bool = False,
-                     fused: bool = False) -> Dict[str, jax.Array]:
+                     fused: bool = False,
+                     train: bool = False) -> Dict[str, jax.Array]:
     """Full forward (ref ``maskformer.py:164-251``).
 
     :param x: [B, H, W, 3] normalized images.
+    :param train: training-mode normalization — for the resnet50 encoder
+        BatchNorm uses live batch statistics and the output carries
+        ``batch_stats`` (EMA-updated buffers) for the train step to merge
+        back into params.  No-op for the ViT encoder (LayerNorm).
     :return: dict with
         ``mask_pred``  [B, L, Q, h, w]  (sigmoid),
         ``objectness`` [B, L, Q, 1]     (sigmoid; binary-classifier mode),
         ``features``   [B, D]           (mean last-layer queries).
         With ``encoder_only``: ``patch_tokens`` [B, gh, gw, D].
     """
+    bn_stats: Dict = {}
     if cfg.arch == "vit_small":
         padded = make_input_divisible(x, cfg.vit.patch_size)
         gh, gw = padded.shape[1] // cfg.vit.patch_size, padded.shape[2] // cfg.vit.patch_size
@@ -273,7 +286,8 @@ def maskformer_apply(params: dict, x: jax.Array, cfg: MaskFormerConfig,
         else:
             memory = forward_encoder(params, x, cfg)          # [B, N, D]
     else:
-        memory, (gh, gw) = forward_encoder(params, x, cfg)
+        memory, (gh, gw) = forward_encoder(params, x, cfg, train=train,
+                                           bn_stats=bn_stats)
 
     if encoder_only:
         b, n, d = memory.shape
@@ -293,13 +307,17 @@ def maskformer_apply(params: dict, x: jax.Array, cfg: MaskFormerConfig,
         objectness = jax.nn.sigmoid(
             mlp_apply(params["ffn"], queries.astype(jnp.float32),
                       activation="relu"))                       # [B, L, Q, 1]
-        return {"mask_pred": mask_pred, "objectness": objectness,
-                "features": features}
+        out = {"mask_pred": mask_pred, "objectness": objectness,
+               "features": features}
     else:
         proj = mlp_apply(params["ffn"], queries, activation="relu")
         mask_logits = jnp.einsum("blqd,bhwd->blqhw", proj, upsampled,
                                  preferred_element_type=jnp.float32)
-        return {"mask_pred": jax.nn.sigmoid(mask_logits), "features": features}
+        out = {"mask_pred": jax.nn.sigmoid(mask_logits), "features": features}
+    if train and bn_stats:
+        # rooted like the params tree so the train step can merge directly
+        out["batch_stats"] = {"encoder": bn_stats}
+    return out
 
 
 def maskformer_apply_canvas(params: dict, x: jax.Array,

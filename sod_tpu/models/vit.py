@@ -55,16 +55,21 @@ class ViTConfig:
                                   # checkpoints always carry a 224-px grid
                                   # (ref vision_transformer.py:212 comment)
     use_flash: bool = False       # route self-attention through Pallas
+    remat: bool = False           # checkpoint each block in the backward
+                                  # (recompute activations; enables much
+                                  # larger train batches per HBM)
 
     @property
     def n_pos_tokens(self) -> int:
         return self.pos_grid * self.pos_grid + 1
 
 
-def vit_small(patch_size: int = 8, use_flash: bool = False) -> ViTConfig:
+def vit_small(patch_size: int = 8, use_flash: bool = False,
+              remat: bool = False) -> ViTConfig:
     """deit_small (ref ``vision_transformer.py:513-525``)."""
     return ViTConfig(patch_size=patch_size, embed_dim=384, n_heads=6,
-                     pos_grid=224 // patch_size, use_flash=use_flash)
+                     pos_grid=224 // patch_size, use_flash=use_flash,
+                     remat=remat)
 
 
 def vit_tiny(patch_size: int = 16, use_flash: bool = False) -> ViTConfig:
@@ -262,8 +267,17 @@ def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
                 return per_layer
             return layer_norm(params["norm"], final[:, :n], cfg.ln_eps)
 
+    block_fn = _block_apply
+    if cfg.remat:
+        # recompute block activations in the backward instead of saving
+        # them from the scan — trades ~flops for HBM, unlocking larger
+        # train batches (matmul-heavy recompute is cheap on the MXU)
+        block_fn = jax.checkpoint(
+            _block_apply, static_argnums=(2,),
+            policy=jax.checkpoint_policies.nothing_saveable)
+
     def body(carry, bp):
-        out = _block_apply(bp, carry, cfg, key_mask=token_mask)
+        out = block_fn(bp, carry, cfg, key_mask=token_mask)
         normed = layer_norm(params["norm"], out, cfg.ln_eps) if all_layers else 0.0
         return out, normed
 

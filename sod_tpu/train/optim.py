@@ -2,10 +2,21 @@
 ``configs/...yaml:51-56`` + trainer pyc 60-68 ``clip_grad_norm_(params, 1)``)."""
 from __future__ import annotations
 
+import jax
 import optax
 
 from sod_tpu.config import Config
 from sod_tpu.train.lr_schedule import poly_schedule
+
+
+def param_labels(params) -> object:
+    """'train' for trainable leaves, 'freeze' for BatchNorm running-stat
+    buffers (leaf keys ``mean``/``var``, only present in resnet BN dicts —
+    torch registers them as buffers, so neither gradients nor weight decay
+    may touch them; the train step updates them by EMA instead)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: ("freeze" if getattr(path[-1], "key", None)
+                         in ("mean", "var") else "train"), params)
 
 
 def build_optimizer(cfg: Config, n_iters_per_epoch: int,
@@ -27,8 +38,11 @@ def build_optimizer(cfg: Config, n_iters_per_epoch: int,
         raise ValueError(f"unsupported optimizer_type {cfg.optimizer_type}")
     return optax.chain(
         optax.clip_by_global_norm(1.0),
-        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
-                    weight_decay=cfg.weight_decay),
+        optax.multi_transform(
+            {"train": optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                                  weight_decay=cfg.weight_decay),
+             "freeze": optax.set_to_zero()},
+            param_labels),
     )
 
 

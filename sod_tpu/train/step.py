@@ -47,7 +47,10 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
 
     def loss_fn(params, batch):
         x = batch["image"].astype(compute_dtype)
-        out = maskformer_apply(params, x, mcfg)
+        out = maskformer_apply(params, x, mcfg, train=True)
+        # resnet encoder: EMA-updated BatchNorm buffers to merge back into
+        # params after the optimizer step (ViT path: empty)
+        bn_stats = out.get("batch_stats", {})
         res = criterion_forward(
             out["mask_pred"].astype(jnp.float32),
             batch["gt_masks"].astype(jnp.float32),
@@ -59,7 +62,7 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
             weight_contrastive_loss=cfg.weight_contrastive_loss,
             temperature=cfg.temperature,
         )
-        return res["loss"], res
+        return res["loss"], (res, bn_stats)
 
     def _metrics(loss, res, grads):
         return {
@@ -72,13 +75,16 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
             "grad_norm": optax.global_norm(grads),
         }
 
+    from sod_tpu.models.resnet import merge_bn_stats
+
     if accum_steps <= 1:
         @jax.jit
         def train_step(params, opt_state, batch):
-            (loss, res), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch)
+            (loss, (res, bn_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            params = merge_bn_stats(params, bn_stats)
             return params, opt_state, _metrics(loss, res, grads)
 
         return train_step
@@ -94,16 +100,22 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
 
         def body(carry, mb):
             acc, loss_acc = carry
-            (loss, res), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, mb)
+            (loss, (res, bn_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, mb)
             acc = jax.tree.map(jnp.add, acc, grads)
-            return (acc, loss_acc + loss), res
+            return (acc, loss_acc + loss), (res, bn_stats)
 
-        (grads, loss_sum), all_res = jax.lax.scan(
+        (grads, loss_sum), (all_res, all_stats) = jax.lax.scan(
             body, (grads0, jnp.float32(0.0)), micro_batches)
         grads = jax.tree.map(lambda g: g / accum_steps, grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        # BN buffers: one EMA update per optimizer step, using the mean of
+        # the micro-batches' updated stats (torch under accumulation would
+        # update sequentially per forward; documented averaged semantics,
+        # same spirit as the averaged-micro-loss above)
+        params = merge_bn_stats(
+            params, jax.tree.map(lambda a: a.mean(axis=0), all_stats))
         res_mean = jax.tree.map(lambda a: a.mean(axis=0), all_res)
         return params, opt_state, _metrics(loss_sum / accum_steps,
                                            res_mean, grads)

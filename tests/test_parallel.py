@@ -112,3 +112,48 @@ def test_evaluator_with_mesh(tmp_path, rng):
     for k in single:
         np.testing.assert_allclose(single[k], multi[k], rtol=1e-4,
                                    atol=1e-5, err_msg=k)
+
+
+def test_evaluator_canvas_size_cached(tmp_path, rng, monkeypatch):
+    """The per-dataset canvas scan runs once: the 2nd call (and a fresh
+    Evaluator reading the persisted cache) does ZERO image-header reads
+    (VERDICT r1 weak item 4)."""
+    import PIL.Image
+
+    from sod_tpu.data.factory import get_dataset
+    from sod_tpu.train.evaluator import Evaluator
+
+    duts = tmp_path / "DUTS"
+    for sub in ("DUTS-TE-Image", "DUTS-TE-Mask"):
+        (duts / sub).mkdir(parents=True)
+    for i in range(4):
+        img = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
+        PIL.Image.fromarray(img).save(duts / "DUTS-TE-Image" / f"t{i}.jpg")
+        gt = np.zeros((40, 48), np.uint8)
+        gt[5:20, 6:30] = 255
+        PIL.Image.fromarray(gt).save(duts / "DUTS-TE-Mask" / f"t{i}.png")
+
+    cfg = Config(dir_dataset=str(tmp_path), compute_dtype="float32",
+                 use_pallas_attention=False)
+    mcfg = MaskFormerConfig(
+        n_queries=4, n_decoder_layers=2,
+        vit=ViTConfig(patch_size=8, embed_dim=32, depth=2, n_heads=2,
+                      pos_grid=8))
+    ev = Evaluator(maskformer_init(jax.random.key(0), mcfg), cfg, mcfg)
+    ds = get_dataset(str(tmp_path), "duts", mode="test")
+
+    calls = []
+    real_open = PIL.Image.open
+    monkeypatch.setattr(PIL.Image, "open",
+                        lambda *a, **k: calls.append(a) or real_open(*a, **k))
+
+    assert ev._max_image_size(ds, "duts", None) == (40, 48)
+    assert len(calls) == 4                      # one header read per image
+    assert ev._max_image_size(ds, "duts", None) == (40, 48)
+    assert len(calls) == 4                      # in-memory cache hit
+
+    # a FRESH evaluator in the same (or a new) process reads the
+    # persisted .sod_canvas_cache.json instead of rescanning
+    ev2 = Evaluator(maskformer_init(jax.random.key(0), mcfg), cfg, mcfg)
+    assert ev2._max_image_size(ds, "duts", None) == (40, 48)
+    assert len(calls) == 4
