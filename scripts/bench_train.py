@@ -28,10 +28,12 @@ from sod_tpu.train.step import make_train_step
 
 
 def bench_step(batch_size: int, steps: int = 20, remat: str = "none",
-               warmup: int = 3, mode: str = "full") -> float:
+               warmup: int = 3, mode: str = "full",
+               fused_mlp: bool = False) -> float:
     """mode: full = fwd+criterion+bwd+AdamW; fwd = model fwd only;
     fwdloss = fwd+criterion (no grad); enc = encoder grad only."""
-    cfg = Config(batch_size=batch_size, remat=(remat != "none"))
+    cfg = Config(batch_size=batch_size, remat=(remat != "none"),
+                 use_fused_mlp=fused_mlp)
     mcfg = config_from(cfg)
     params = maskformer_init(jax.random.key(0), mcfg)
     tx = build_optimizer(cfg, n_iters_per_epoch=100)
@@ -49,16 +51,16 @@ def bench_step(batch_size: int, steps: int = 20, remat: str = "none",
     }
 
     if mode == "full":
-        @functools.partial(jax.jit, static_argnums=(3,))
+        # NOTE: wrapping the step in a lax.scan over steps (carrying the
+        # whole param/opt pytree) measured 17x slower than the step itself
+        # — a Python loop of async dispatches with ONE scalar fetch at the
+        # end measures the true step time (data dependence via p, o
+        # serializes the steps on device).
         def run_n(params, opt_state, batch, n):
-            def body(carry, _):
-                p, o = carry
+            p, o = params, opt_state
+            for _ in range(n):
                 p, o, m = step(p, o, batch)
-                return (p, o), m["loss"]
-
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), None, length=n)
-            return params, opt_state, losses[-1]
+            return p, o, m["loss"]
     else:
         from sod_tpu.losses.criterion import criterion_forward
         from sod_tpu.models.maskformer import maskformer_apply
@@ -82,16 +84,19 @@ def bench_step(batch_size: int, steps: int = 20, remat: str = "none",
 
         @functools.partial(jax.jit, static_argnums=(3,))
         def run_n(params, opt_state, batch, n):
-            def body(carry, _):
+            def body(c, _):
+                # thread the carry into the input so iterations can't be
+                # CSE'd away
+                bt = {**batch, "image": batch["image"] + c * 1e-12}
                 if mode in ("fwd", "fwdloss"):
-                    v = loss_of(params, batch)
+                    v = loss_of(params, bt)
                 else:                       # enc: grad wrt encoder only
                     v = jax.grad(lambda e: loss_of(
-                        {**params, "encoder": e}, batch))(
+                        {**params, "encoder": e}, bt))(
                         params["encoder"])["cls_token"].sum()
-                return carry, v
+                return v.astype(jnp.float32), v
 
-            _, vals = jax.lax.scan(body, 0, None, length=n)
+            _, vals = jax.lax.scan(body, jnp.float32(0), None, length=n)
             return params, opt_state, vals[-1].sum()
 
     # warmup / compile
@@ -110,21 +115,43 @@ def main():
     ap.add_argument("--remat", nargs="+", default=["none"])
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--modes", nargs="+", default=["full"])
+    ap.add_argument("--fused-mlp", action="store_true")
+    ap.add_argument("--one", action="store_true",
+                    help="run exactly one config in THIS process")
     args = ap.parse_args()
+
+    if args.one:
+        b, mode, remat = args.batches[0], args.modes[0], args.remat[0]
+        dt = bench_step(b, steps=args.steps, remat=remat, mode=mode,
+                        fused_mlp=args.fused_mlp)
+        print(f"B={b:3d} mode={mode:8s} remat={remat:6s} "
+              f"fmlp={int(args.fused_mlp)} "
+              f"{dt * 1e3:8.2f} ms/step  {b / dt:8.1f} img/s", flush=True)
+        return
+
+    # One subprocess per config: running several large jitted programs in
+    # one process degrades dispatch through the axon tunnel by ~40x
+    # (measured — fresh-process numbers match bench.py, in-process ones
+    # do not), so each measurement gets its own interpreter.
+    import subprocess
 
     print(f"devices: {jax.devices()}")
     for mode in args.modes:
         for remat in args.remat:
             for b in args.batches:
-                try:
-                    dt = bench_step(b, steps=args.steps, remat=remat,
-                                    mode=mode)
+                cmd = [sys.executable, os.path.abspath(__file__), "--one",
+                       "--batches", str(b), "--modes", mode,
+                       "--remat", remat, "--steps", str(args.steps)]
+                if args.fused_mlp:
+                    cmd.append("--fused-mlp")
+                r = subprocess.run(cmd, capture_output=True, text=True)
+                out = [ln for ln in r.stdout.splitlines() if "ms/step" in ln]
+                if out:
+                    print(out[-1], flush=True)
+                else:
+                    tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
                     print(f"B={b:3d} mode={mode:8s} remat={remat:6s} "
-                          f"{dt * 1e3:8.2f} ms/step  {b / dt:8.1f} img/s",
-                          flush=True)
-                except Exception as e:  # noqa: BLE001
-                    print(f"B={b:3d} mode={mode:8s} remat={remat:6s} "
-                          f"FAILED: {e}", flush=True)
+                          f"FAILED: {' | '.join(tail)}", flush=True)
 
 
 if __name__ == "__main__":

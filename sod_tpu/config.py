@@ -90,6 +90,8 @@ class Config:
     use_pallas_attention: bool = True  # fused flash-attention kernel on TPU
     remat: bool = False               # checkpoint encoder blocks in the
                                       # backward (bigger train batches)
+    use_fused_mlp: bool = False       # fused LN+MLP Pallas kernel (tanh
+                                      # GELU; differentiable; any N)
     mesh_data_axis: int = 1           # data-parallel mesh size (1 = single chip)
     max_gt_masks: int = 8             # static padding for ragged pseudo-mask stacks
 

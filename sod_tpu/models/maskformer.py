@@ -92,7 +92,8 @@ def config_from(cfg) -> "MaskFormerConfig":
         return_intermediate=cfg.loss_every_decoder_layer,
         vit=vit_small(patch_size=cfg.patch_size,
                       use_flash=cfg.use_pallas_attention,
-                      remat=getattr(cfg, "remat", False)),
+                      remat=getattr(cfg, "remat", False),
+                      fused_mlp=getattr(cfg, "use_fused_mlp", False)),
     )
 
 

@@ -58,6 +58,9 @@ class ViTConfig:
     remat: bool = False           # checkpoint each block in the backward
                                   # (recompute activations; enables much
                                   # larger train batches per HBM)
+    fused_mlp: bool = False       # LN+MLP+residual as one Pallas kernel
+                                  # (differentiable; tanh-GELU, so opt-in —
+                                  # exact-parity paths keep erf GELU)
 
     @property
     def n_pos_tokens(self) -> int:
@@ -65,11 +68,11 @@ class ViTConfig:
 
 
 def vit_small(patch_size: int = 8, use_flash: bool = False,
-              remat: bool = False) -> ViTConfig:
+              remat: bool = False, fused_mlp: bool = False) -> ViTConfig:
     """deit_small (ref ``vision_transformer.py:513-525``)."""
     return ViTConfig(patch_size=patch_size, embed_dim=384, n_heads=6,
                      pos_grid=224 // patch_size, use_flash=use_flash,
-                     remat=remat)
+                     remat=remat, fused_mlp=fused_mlp)
 
 
 def vit_tiny(patch_size: int = 16, use_flash: bool = False) -> ViTConfig:
@@ -204,6 +207,10 @@ def _block_apply(bp: dict, x: jax.Array, cfg: ViTConfig,
                            cfg.n_heads, use_flash=cfg.use_flash,
                            key_mask=key_mask)
     x = x + y
+    if cfg.fused_mlp:
+        from sod_tpu.ops.fused_mlp import fused_ln_mlp
+
+        return fused_ln_mlp(x, bp["mlp"], bp["norm2"], eps=cfg.ln_eps)
     x = x + mlp_apply(bp["mlp"], layer_norm(bp["norm2"], x, cfg.ln_eps),
                       activation="gelu")
     return x

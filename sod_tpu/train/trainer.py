@@ -96,12 +96,31 @@ class Trainer:
         state = restore_checkpoint(path)
         self.params = jax.tree.map(jax.numpy.asarray, state["params"])
         if "opt_state" in state:
+            # Orbax loses optax's NamedTuple containers, so the restored
+            # tree is re-shaped against the live template — guarded leaf
+            # by leaf: a changed optimizer chain (different leaf count or
+            # shapes) must fail loudly, not silently mis-restore.
             template = jax.device_get(self.opt_state)
-            restored = state["opt_state"]
+            t_leaves = jax.tree.leaves(template)
+            r_leaves = jax.tree.leaves(state["opt_state"])
+            if len(t_leaves) != len(r_leaves):
+                raise ValueError(
+                    f"checkpoint optimizer state has {len(r_leaves)} leaves "
+                    f"but the current optimizer expects {len(t_leaves)} — "
+                    "the optimizer chain changed since this checkpoint was "
+                    "written; restart training or rebuild the optimizer to "
+                    "match")
+            for i, (t, r) in enumerate(zip(t_leaves, r_leaves)):
+                ts = getattr(t, "shape", None)
+                rs = getattr(r, "shape", None)
+                if ts != rs:
+                    raise ValueError(
+                        f"optimizer-state leaf {i} shape mismatch: "
+                        f"checkpoint {rs} vs current {ts} — the optimizer "
+                        "or model changed since this checkpoint was written")
             self.opt_state = jax.tree.map(
                 jax.numpy.asarray, jax.tree.unflatten(
-                    jax.tree.structure(template),
-                    jax.tree.leaves(restored)))
+                    jax.tree.structure(template), r_leaves))
         self.n_iters_done = int(state.get("n_iters", 0))
         if self.mesh is not None:
             rep = replicated(self.mesh)

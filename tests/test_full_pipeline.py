@@ -78,3 +78,13 @@ def test_generate_train_eval_resume(tmp_path):
         np.testing.assert_array_equal(a, b)
     em2 = trainer2._train_epoch(next_epoch)
     assert np.isfinite(em2["avg_loss"])
+
+    # 5. resume with a CHANGED optimizer chain must fail loudly, never
+    # silently mis-restore (VERDICT r1 weak item 5)
+    import optax
+    import pytest
+
+    trainer3 = Trainer(cfg, mcfg=mcfg)
+    trainer3.opt_state = optax.sgd(1e-3).init(trainer3.params)
+    with pytest.raises(ValueError, match="optimizer"):
+        trainer3.resume()

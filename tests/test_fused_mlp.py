@@ -1,0 +1,93 @@
+"""Fused LN+MLP+residual kernel (ops/fused_mlp.py): value parity with the
+unfused block path (tanh-GELU tolerance) and hand-written VJP parity with
+autodiff.  On CPU the op runs its XLA twin (same math as the kernel)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sod_tpu.models.vit import ViTConfig, _block_apply, vit_init
+from sod_tpu.ops.fused_mlp import _reference_forward, fused_ln_mlp
+from sod_tpu.ops.layers import layer_norm, mlp_apply
+
+
+def _params(rng, d=64, hidden=256):
+    r = np.random.RandomState(rng)
+    t = lambda *s: jnp.asarray(r.randn(*s) * 0.05, jnp.float32)
+    mlp = {"fc0": {"w": t(d, hidden), "b": t(hidden)},
+           "fc1": {"w": t(hidden, d), "b": t(d)}}
+    ln = {"scale": 1.0 + t(d), "bias": t(d)}
+    return mlp, ln
+
+
+def test_value_matches_unfused_within_gelu_tolerance(rng):
+    mlp, ln = _params(0)
+    x = jnp.asarray(rng.randn(2, 40, 64), jnp.float32)
+    fused = fused_ln_mlp(x, mlp, ln)
+    unfused = x + mlp_apply(mlp, layer_norm(ln, x, 1e-6), activation="gelu")
+    # tanh-GELU vs erf-GELU plus bf16 matmuls: loose-ish tolerance
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_vjp_matches_autodiff_of_reference(rng):
+    """The hand-written backward == jax.grad of the (same-math) XLA twin."""
+    from sod_tpu.ops.fused_mlp import _prep_weights
+
+    mlp, ln = _params(1, d=32, hidden=64)
+    x = jnp.asarray(rng.randn(24, 32), jnp.float32)
+    weights = _prep_weights(mlp, ln)
+
+    def via_fused(x, *w):
+        return (fused_ln_mlp(x, mlp, ln) ** 2).sum()
+
+    def via_ref(x, *w):
+        return (_reference_forward(x, *w, 1e-6).astype(jnp.float32) ** 2).sum()
+
+    g_fused = jax.grad(lambda x: (fused_ln_mlp(x, mlp, ln) ** 2).sum())(x)
+    g_ref = jax.grad(lambda x: (_reference_forward(
+        x, *weights, 1e-6).astype(jnp.float32) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               atol=2e-2, rtol=2e-2)
+
+    # weight grads through the params dict
+    def loss_params(mlp_p):
+        return (fused_ln_mlp(x, mlp_p, ln) ** 2).sum()
+
+    def loss_params_ref(mlp_p):
+        w = _prep_weights(mlp_p, ln)
+        return (_reference_forward(x, *w, 1e-6).astype(jnp.float32)
+                ** 2).sum()
+
+    ga = jax.grad(loss_params)(mlp)
+    gb = jax.grad(loss_params_ref)(mlp)
+    for pa, pb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=2e-2, rtol=2e-2)
+
+
+def test_block_apply_fused_mlp_route(rng):
+    """_block_apply(fused_mlp=True) stays close to the exact block."""
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=1, n_heads=2,
+                    pos_grid=4)
+    cfg_f = ViTConfig(patch_size=8, embed_dim=32, depth=1, n_heads=2,
+                      pos_grid=4, fused_mlp=True)
+    params = vit_init(jax.random.key(0), cfg)
+    bp = jax.tree.map(lambda a: a[0], params["blocks"])
+    x = jnp.asarray(rng.randn(2, 17, 32), jnp.float32)
+    base = _block_apply(bp, x, cfg)
+    fused = _block_apply(bp, x, cfg_f)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_fused_mlp_any_token_count(rng):
+    """Rows beyond one chunk (and non-multiples of the chunk) work."""
+    mlp, ln = _params(2, d=32, hidden=64)
+    for n in (3, 512, 700, 1300):
+        x = jnp.asarray(np.random.RandomState(n).randn(1, n, 32),
+                        jnp.float32)
+        fused = fused_ln_mlp(x, mlp, ln, chunk=256)
+        unfused = x + mlp_apply(mlp, layer_norm(ln, x, 1e-6),
+                                activation="gelu")
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                                   atol=2e-2, rtol=2e-2, err_msg=str(n))
