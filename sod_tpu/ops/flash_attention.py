@@ -142,6 +142,83 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     return out[:, :n].reshape(b, h, n, d)
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                scale: float, n_real: int):
+    """Whole-N attention backward for one (batch, head) program.
+
+    Recomputes the probabilities and produces dq/dk/dv with every [N, N]
+    slab living in VMEM — the XLA backward materialises ``p`` and ``ds``
+    ([B, H, N, N] f32) in HBM, which dominated the train step's backward
+    time.  Padded q rows carry zero ``do`` so their contributions vanish;
+    padded key columns are masked out of the softmax.
+    """
+    q = q_ref[0]                                   # [N, d] bf16
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # [N, N]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_real, s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    pc = p.astype(q.dtype)
+    dv = jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    dsc = ds.astype(q.dtype)
+    dq = jnp.dot(dsc, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(dsc, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+#: whole-N backward keeps ~4 f32 [N, N] slabs in VMEM; 1536² x 4 x 4B
+#: = 38 MB stays comfortably under the 100 MB budget
+_BWD_MAX_N = 1536
+
+
+def _flash_backward(q, k, v, do, scale, interpret: bool = False):
+    b, h, n, d = q.shape
+    n_pad = _ceil_to(n, 128)
+    bh = b * h
+
+    def prep(x):
+        x = x.reshape(bh, n, d)
+        if n_pad != n:
+            x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+        return x
+
+    qp, kp, vp, dop = prep(q), prep(k), prep(v), prep(do.astype(q.dtype))
+    spec = pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype)
+    cost = pl.CostEstimate(
+        flops=10 * bh * n_pad * n_pad * d,
+        bytes_accessed=7 * bh * n_pad * d * q.dtype.itemsize,
+        transcendentals=bh * n_pad * n_pad,
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, n_real=n),
+        grid=(bh,),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 3,
+        out_shape=[shape] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(qp, kp, vp, dop)
+    post = lambda x: x[:, :n].reshape(b, h, n, d)
+    return post(dq), post(dk), post(dv)
+
+
 def _xla_attention(q, k, v, scale, key_mask=None):
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
@@ -182,6 +259,10 @@ def _fwd(q, k, v, scale, key_mask):
 
 def _bwd(scale, res, g):
     q, k, v, key_mask = res
+    if (_use_pallas() and key_mask is None
+            and _ceil_to(q.shape[2], 128) <= _BWD_MAX_N):
+        dq, dk, dv = _flash_backward(q, k, v, g, scale)
+        return dq, dk, dv, None
     # recompute probabilities (flash-style remat); the softmax itself stays
     # fp32, the big matmuls run in the inputs' (bf16) dtype with fp32
     # accumulation — standard mixed-precision attention backward

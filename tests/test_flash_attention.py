@@ -115,3 +115,33 @@ def test_fused_block_masked_interpret(rng):
     c = np.corrcoef(got[valid].ravel(), refn[valid].ravel())[0, 1]
     assert c > 0.999
     np.testing.assert_allclose(got[valid], refn[valid], atol=0.15, rtol=0.1)
+
+
+def test_backward_kernel_interpret_matches_xla_grads(rng):
+    """The Pallas whole-N backward == autodiff of XLA attention (bf16
+    tolerance), including non-128-multiple N (padded rows/cols)."""
+    from sod_tpu.ops.flash_attention import _flash_backward, _xla_attention
+
+    for n in (64, 130):
+        b, h, d = 2, 3, 32
+        scale = d ** -0.5
+        mk = lambda s: jnp.asarray(
+            np.random.RandomState(s + n).randn(b, h, n, d) * 0.5,
+            jnp.bfloat16)
+        q, k, v, do = mk(0), mk(1), mk(2), mk(3)
+
+        def ref(q, k, v):
+            return (_xla_attention(q.astype(jnp.float32),
+                                   k.astype(jnp.float32),
+                                   v.astype(jnp.float32), scale)
+                    .astype(jnp.float32) * do.astype(jnp.float32)).sum()
+
+        gq, gk, gv = jax.grad(ref, argnums=(0, 1, 2))(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32))
+        dq, dk, dv = _flash_backward(q, k, v, do, scale, interpret=True)
+        for ours, theirs, name in ((dq, gq, "dq"), (dk, gk, "dk"),
+                                   (dv, gv, "dv")):
+            np.testing.assert_allclose(
+                np.asarray(ours, np.float32), np.asarray(theirs),
+                atol=0.05, rtol=0.05, err_msg=f"{name} n={n}")
