@@ -177,7 +177,9 @@ def measure_train_ips(batch: int = 32) -> float:
     from sod_tpu.train.optim import build_optimizer
     from sod_tpu.train.step import make_train_step
 
-    cfg = Config(batch_size=batch, remat=True)
+    # measured-best train config on v5e: flash fwd+bwd kernels + fused
+    # LN/MLP kernel; remat measured ~20% slower (memory lever only)
+    cfg = Config(batch_size=batch, use_fused_mlp=True)
     mcfg = config_from(cfg)
     params = maskformer_init(jax.random.key(0), mcfg)
     tx = build_optimizer(cfg, n_iters_per_epoch=100)

@@ -172,9 +172,12 @@ class Evaluator:
                 lambda a, b: pos_embed_canvas_device(table, a, b,
                                                      (gh_c, gw_c)))(gh, gw)
 
-            # flash-attention path: measured 73 ms/batch at canvas scale;
-            # the chunked fused kernel is available (fused=True) but not
-            # yet TPU-benchmarked at >1024 tokens
+            # flash-attention + (optionally) fused-LN/MLP hybrid: the
+            # whole-block kernel's chunk unrolls blow up Mosaic compile
+            # past 1024 tokens, but the row-chunked fused_mlp kernel works
+            # at any N — cfg.use_fused_mlp=True measured 64.2 vs 70.6
+            # ms/batch-16 on the 400px canvas (tanh-GELU deviation, so
+            # opt-in; the default path keeps bit-exact erf GELU)
             out = maskformer_apply_canvas(
                 params, image.astype(compute_dtype), mcfg,
                 token_mask=token_mask, pos_embed_override=pos_embed,
