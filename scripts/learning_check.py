@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""End-to-end learning check on the real chip: flagship model (ViT-S/8 +
+nq20 decoder), live loss (dice + ranking + InfoNCE), synthetic saliency.
+
+Round 1 measured eval IoU 0.076 -> 0.944 in 150 steps with the per-op
+path; this validates the round-2 fast path (Pallas flash fwd+bwd kernels,
+fused LN/MLP) preserves training dynamics.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sod_tpu.config import Config
+from sod_tpu.models.maskformer import config_from, maskformer_apply, maskformer_init
+from sod_tpu.train.optim import build_optimizer
+from sod_tpu.train.step import make_train_step
+
+
+def synth_batch(rng, b, img=224, m=4):
+    """Bright rectangle on dark noisy background + its mask."""
+    images = rng.rand(b, img, img, 3).astype(np.float32) * 0.2
+    gts = np.zeros((b, m, img, img), np.float32)
+    valid = np.zeros((b, m), bool)
+    for i in range(b):
+        h0, w0 = rng.randint(20, img // 2, size=2)
+        hh, ww = rng.randint(img // 4, img // 2, size=2)
+        images[i, h0:h0 + hh, w0:w0 + ww] += 0.7
+        gts[i, 0, h0:h0 + hh, w0:w0 + ww] = 1.0
+        valid[i, 0] = True
+    return {"image": jnp.asarray(images.clip(0, 1)),
+            "gt_masks": jnp.asarray(gts),
+            "gt_valid": jnp.asarray(valid),
+            "labels": jnp.asarray(rng.randint(0, 10000, size=(b,)))}
+
+
+def eval_iou(params, mcfg, batch):
+    out = maskformer_apply(params, batch["image"].astype(jnp.bfloat16), mcfg)
+    obj = out["objectness"][:, -1, :, 0]
+    best = jnp.argmax(obj, axis=-1)
+    pred = jnp.take_along_axis(out["mask_pred"][:, -1],
+                               best[:, None, None, None], axis=1)[:, 0]
+    b = pred.shape[0]
+    gt = jax.image.resize(batch["gt_masks"][:, 0],
+                          (b,) + pred.shape[-2:], "nearest") > 0.5
+    p = pred > 0.5
+    inter = (p & gt).sum((-1, -2)).astype(jnp.float32)
+    union = (p | gt).sum((-1, -2)).astype(jnp.float32)
+    return float(jnp.mean(inter / (union + 1e-7)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--fused-mlp", action="store_true")
+    ap.add_argument("--no-flash", action="store_true",
+                    help="pure-XLA attention (no Pallas fwd/bwd kernels)")
+    ap.add_argument("--lr", type=float, default=2e-5)
+    args = ap.parse_args()
+
+    # lr: 1e-4 collapses the all-queries dice into sigmoid saturation
+    # (loss pinned at ~120, zero grads) on ANY path incl. pure XLA —
+    # 2e-5 with a short warmup converges
+    cfg = Config(batch_size=args.batch, lr=args.lr, lr_warmup_duration=1,
+                 n_epochs=10,
+                 use_fused_mlp=args.fused_mlp,
+                 use_pallas_attention=not args.no_flash)
+    mcfg = config_from(cfg)
+    params = maskformer_init(jax.random.key(0), mcfg)
+    # warmup = 1 "epoch" = steps/5 iters; monotonic poly decay
+    tx = build_optimizer(cfg, n_iters_per_epoch=max(1, args.steps // 5),
+                         faithful_lr_cycle=False)
+    opt = tx.init(params)
+    step = make_train_step(cfg, tx, mcfg)
+
+    rng = np.random.RandomState(0)
+    eval_batch = synth_batch(np.random.RandomState(999), args.batch)
+    iou0 = eval_iou(params, mcfg, eval_batch)
+    print(f"step 0: eval IoU {iou0:.3f}", flush=True)
+
+    t0 = time.perf_counter()
+    p, o = params, opt
+    for i in range(1, args.steps + 1):
+        batch = synth_batch(rng, args.batch)
+        p, o, m = step(p, o, batch)
+        if i % 50 == 0:
+            loss = float(m["loss"])
+            print(f"step {i}: loss {loss:.4f} "
+                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
+    iou1 = eval_iou(p, mcfg, eval_batch)
+    dt = time.perf_counter() - t0
+    print(f"final: eval IoU {iou0:.3f} -> {iou1:.3f} in {args.steps} steps "
+          f"/ {dt:.1f}s  (fused_mlp={int(args.fused_mlp)})", flush=True)
+    assert iou1 > 0.8, f"learning check failed: IoU {iou1}"
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,108 @@ def _rows_pallas(x2d: jax.Array, weights, eps: float, interpret: bool,
     return out[:n] if n_pad != n else out
 
 
+def _bwd_kernel(x_ref, dy_ref, ln_s, ln_b, w1, b1, w2,
+                dx_ref, dls_ref, dlb_ref, dw1_ref, db1_ref, dw2_ref,
+                db2_ref, *, eps: float):
+    """Whole MLP backward for one row-chunk, weight grads accumulated
+    across grid iterations (constant-index output blocks stay VMEM
+    resident on TPU and sum sequentially).  Recomputes h/a/g in VMEM —
+    the XLA backward materialises the [N, 4D] f32 hidden in HBM."""
+    i = pl.program_id(0)
+    x = x_ref[:].astype(jnp.float32)                       # [R, D]
+    dy = dy_ref[:].astype(jnp.float32)
+    s = ln_s[0].astype(jnp.float32)
+
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * inv
+    h = (xhat * s + ln_b[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    a = jnp.dot(h, w1[:], preferred_element_type=jnp.float32) \
+        + b1[0].astype(jnp.float32)
+    g = _gelu_tanh(a).astype(jnp.bfloat16)
+
+    dyc = dy.astype(jnp.bfloat16)
+    dw2 = jax.lax.dot_general(g, dyc, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [H, D]
+    db2 = jnp.sum(dy, axis=0, keepdims=True)
+    dg = jax.lax.dot_general(dyc, w2[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # [R, H]
+    da = dg * _gelu_tanh_grad(a)
+    dac = da.astype(jnp.bfloat16)
+    dw1 = jax.lax.dot_general(h, dac, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [D, H]
+    db1 = jnp.sum(da, axis=0, keepdims=True)
+    dh = jax.lax.dot_general(dac, w1[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # [R, D]
+    dls = jnp.sum(dh * xhat, axis=0, keepdims=True)
+    dlb = jnp.sum(dh, axis=0, keepdims=True)
+    dxhat = dh * s
+    dx = dy + inv * (dxhat - jnp.mean(dxhat, axis=-1, keepdims=True)
+                     - xhat * jnp.mean(dxhat * xhat, axis=-1,
+                                       keepdims=True))
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _init():
+        dls_ref[:] = dls
+        dlb_ref[:] = dlb
+        dw1_ref[:] = dw1
+        db1_ref[:] = db1
+        dw2_ref[:] = dw2
+        db2_ref[:] = db2
+
+    @pl.when(i != 0)
+    def _acc():
+        dls_ref[:] += dls
+        dlb_ref[:] += dlb
+        dw1_ref[:] += dw1
+        db1_ref[:] += db1
+        dw2_ref[:] += dw2
+        db2_ref[:] += db2
+
+
+def _bwd_pallas(x2d, dy, ln_s, ln_b, w1, b1, w2, eps: float, chunk: int,
+                interpret: bool = False):
+    n, d = x2d.shape
+    hidden = w1.shape[1]
+    n_pad = -(-n // chunk) * chunk
+    if n_pad != n:
+        x2d = jnp.pad(x2d, ((0, n_pad - n), (0, 0)))
+        dy = jnp.pad(dy, ((0, n_pad - n), (0, 0)))
+    rep = lambda w: pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim,
+                                 memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    rows = pl.BlockSpec((chunk, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps),
+        grid=(n_pad // chunk,),
+        in_specs=[rows, rows, rep(ln_s), rep(ln_b), rep(w1), rep(b1),
+                  rep(w2)],
+        out_specs=[rows, acc((1, d)), acc((1, d)), acc((d, hidden)),
+                   acc((1, hidden)), acc((hidden, d)), acc((1, d))],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, d), x2d.dtype),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((d, hidden), f32),
+                   jax.ShapeDtypeStruct((1, hidden), f32),
+                   jax.ShapeDtypeStruct((hidden, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * n_pad * d * hidden,
+            bytes_accessed=4 * n_pad * d * 2,
+            transcendentals=2 * n_pad * hidden),
+        interpret=interpret,
+    )(x2d, dy.astype(x2d.dtype), ln_s, ln_b, w1, b1, w2)
+    dx, dls, dlb, dw1, db1, dw2, db2 = outs
+    return dx[:n], dls, dlb, dw1, db1, dw2, db2
+
+
 def _prep_weights(mp: dict, lnp: dict):
     row = lambda a: a.reshape(1, -1).astype(jnp.bfloat16)
     return (row(lnp["scale"]), row(lnp["bias"]),
@@ -127,9 +229,17 @@ def _fwd(x2d, ln_s, ln_b, w1, b1, w2, b2, eps, chunk):
 
 
 def _bwd(eps, chunk, res, dy):
-    """Recompute-and-backprop in XLA (flash-style remat): matmul-bound on
-    the MXU, nothing saved from the forward but the inputs."""
+    """Recompute-and-backprop: a Pallas kernel on TPU (h/a/g stay in
+    VMEM, weight grads accumulate across row-chunk grid iterations), the
+    XLA twin elsewhere."""
     x2d, ln_s, ln_b, w1, b1, w2, b2 = res
+    if _available():
+        dx, dls, dlb, dw1, db1, dw2, db2 = _bwd_pallas(
+            x2d, dy.astype(jnp.float32), ln_s, ln_b, w1, b1, w2, eps, chunk)
+        return (dx.astype(x2d.dtype), dls.astype(ln_s.dtype),
+                dlb.astype(ln_b.dtype), dw1.astype(w1.dtype),
+                db1.astype(b1.dtype), dw2.astype(w2.dtype),
+                db2.astype(b2.dtype))
     xf = x2d.astype(jnp.float32)
     s = ln_s[0].astype(jnp.float32)
     b = ln_b[0].astype(jnp.float32)

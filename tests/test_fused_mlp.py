@@ -91,3 +91,24 @@ def test_fused_mlp_any_token_count(rng):
                                 activation="gelu")
         np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
                                    atol=2e-2, rtol=2e-2, err_msg=str(n))
+
+
+def test_bwd_pallas_interpret_matches_xla_backward(rng):
+    """The Pallas MLP backward (grid-accumulated weight grads) equals the
+    XLA recompute backward in interpret mode, incl. padded rows."""
+    from sod_tpu.ops.fused_mlp import _bwd, _bwd_pallas, _prep_weights
+
+    mlp, ln = _params(3, d=32, hidden=64)
+    ln_s, ln_b, w1, b1, w2, b2 = _prep_weights(mlp, ln)
+    for n in (64, 70):              # 70: padding rows in the last chunk
+        x = jnp.asarray(np.random.RandomState(n).randn(n, 32), jnp.float32)
+        dy = jnp.asarray(np.random.RandomState(n + 1).randn(n, 32),
+                         jnp.float32)
+        ref = _bwd(1e-6, 64, (x, ln_s, ln_b, w1, b1, w2, b2), dy)
+        got = _bwd_pallas(x, dy, ln_s, ln_b, w1, b1, w2, 1e-6, 64,
+                          interpret=True)
+        names = ("dx", "dls", "dlb", "dw1", "db1", "dw2", "db2")
+        for o, r, name in zip(got, ref, names):
+            np.testing.assert_allclose(
+                np.asarray(o, np.float32), np.asarray(r, np.float32),
+                atol=3e-2, rtol=3e-2, err_msg=f"{name} n={n}")
