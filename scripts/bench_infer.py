@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Inference throughput sweep (fused-block path) over batch sizes.
+
+One config per subprocess (see bench_train.py: multiple large jitted
+programs per process degrade tunnel dispatch ~40x).
+"""
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure(batch: int, iters: int = 20) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from sod_tpu.config import Config
+    from sod_tpu.models.maskformer import (
+        config_from,
+        maskformer_apply,
+        maskformer_init,
+    )
+
+    cfg = Config()
+    mcfg = config_from(cfg)
+    params = maskformer_init(jax.random.key(0), mcfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                          if x.dtype == jnp.float32 else x, params)
+
+    @jax.jit
+    def chain(params, x):
+        def body(c, _):
+            out = maskformer_apply(params, c, mcfg, fused=True)
+            obj = out["objectness"][:, -1, :, 0]
+            best = jnp.argmax(obj, axis=-1)
+            sel = jnp.take_along_axis(
+                out["mask_pred"][:, -1], best[:, None, None, None], axis=1)
+            m = jnp.mean(sel) * 1e-6
+            return c + m.astype(c.dtype), jnp.sum(sel)
+
+        f, s = jax.lax.scan(body, x, None, length=iters)
+        return jnp.sum(f) + jnp.sum(s)
+
+    x = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
+    float(chain(params, x))
+    t0 = time.perf_counter()
+    float(chain(params, x))
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="+",
+                    default=[16, 32, 48, 64, 96])
+    ap.add_argument("--one", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.one is not None:
+        ips = measure(args.one)
+        print(f"B={args.one:3d}  {ips:8.1f} img/s", flush=True)
+        return
+    for b in args.batches:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", str(b)],
+            capture_output=True, text=True)
+        out = [ln for ln in r.stdout.splitlines() if "img/s" in ln]
+        print(out[-1] if out else
+              f"B={b:3d} FAILED: {(r.stderr or '').strip().splitlines()[-1:]}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

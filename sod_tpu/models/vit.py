@@ -311,6 +311,25 @@ def vit_last_selfattention(params: dict, x: jax.Array, cfg: ViTConfig) -> jax.Ar
     return _block_apply(last, tokens, cfg, return_attn=True)
 
 
+def vit_selfattention(params: dict, x: jax.Array, cfg: ViTConfig,
+                      all_blocks: bool = False) -> jax.Array:
+    """Attention probabilities (ref ``forward_selfattention``,
+    ``vision_transformer.py:403-446``): the final block's attention, or —
+    with ``all_blocks`` (ref ``return_interm_attn``) — every block's,
+    stacked [L, B, H, 1+N, 1+N].  The reference's zero-padded pos-embed
+    edge cases collapse to plain bicubic interpolation for
+    square-divisible inputs, which ``prepare_tokens`` handles."""
+    tokens, _ = prepare_tokens(params, x, cfg)
+
+    def body(carry, bp):
+        attn = _block_apply(bp, carry, cfg, return_attn=True)
+        out = _block_apply(bp, carry, cfg)
+        return out, attn
+
+    _, attns = jax.lax.scan(body, tokens, params["blocks"])
+    return attns if all_blocks else attns[-1]
+
+
 def vit_get_tokens(params: dict, x: jax.Array, cfg: ViTConfig,
                    layers: Optional[list] = None, patch_tokens: bool = False,
                    norm: bool = True) -> jax.Array:

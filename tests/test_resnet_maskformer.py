@@ -181,3 +181,25 @@ def test_bn_buffers_masked_from_optimizer():
                                   np.asarray(bn_new["var"]))
     # scale/bias ARE trainable
     assert float(jnp.abs(bn_new["scale"] - bn_old["scale"]).max()) > 0
+
+
+def test_vit_selfattention_all_blocks():
+    """ref forward_selfattention (vision_transformer.py:403-446): per-block
+    attention stack; last entry equals get_last_selfattention."""
+    from sod_tpu.models.vit import vit_selfattention
+
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=3, n_heads=2,
+                    pos_grid=4)
+    params = vit_init(jax.random.key(0), cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+    attns = vit_selfattention(params, x, cfg, all_blocks=True)
+    n = 1 + 16
+    assert attns.shape == (3, 2, 2, n, n)
+    # rows are probability distributions
+    np.testing.assert_allclose(np.asarray(attns.sum(-1)), 1.0, atol=1e-5)
+    last = vit_selfattention(params, x, cfg)
+    np.testing.assert_allclose(np.asarray(last), np.asarray(attns[-1]),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(vit_last_selfattention(params, x, cfg)),
+        np.asarray(last), atol=1e-5)
