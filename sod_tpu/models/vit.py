@@ -194,15 +194,25 @@ def prepare_tokens(params: dict, x: jax.Array, cfg: ViTConfig,
 
 
 def _block_apply(bp: dict, x: jax.Array, cfg: ViTConfig,
-                 return_attn: bool = False,
+                 return_attn=False,
                  key_mask: Optional[jax.Array] = None):
-    """One transformer block (ref ``vision_transformer.py:136-170``)."""
+    """One transformer block (ref ``vision_transformer.py:136-170``).
+
+    :param return_attn: True → return the attention probabilities only
+        (ref ``Block(return_attention=True)``); ``"both"`` → one-pass
+        ``(block_out, attn)`` so per-layer attention sweeps don't run the
+        attention twice."""
     if return_attn:
-        _, attn = self_attention_qkv(bp["attn"],
+        y, attn = self_attention_qkv(bp["attn"],
                                      layer_norm(bp["norm1"], x, cfg.ln_eps),
                                      cfg.n_heads, return_attn=True,
                                      key_mask=key_mask)
-        return attn
+        if return_attn != "both":
+            return attn
+        x = x + y
+        x = x + mlp_apply(bp["mlp"], layer_norm(bp["norm2"], x, cfg.ln_eps),
+                          activation="gelu")
+        return x, attn
     y = self_attention_qkv(bp["attn"], layer_norm(bp["norm1"], x, cfg.ln_eps),
                            cfg.n_heads, use_flash=cfg.use_flash,
                            key_mask=key_mask)
@@ -322,8 +332,7 @@ def vit_selfattention(params: dict, x: jax.Array, cfg: ViTConfig,
     tokens, _ = prepare_tokens(params, x, cfg)
 
     def body(carry, bp):
-        attn = _block_apply(bp, carry, cfg, return_attn=True)
-        out = _block_apply(bp, carry, cfg)
+        out, attn = _block_apply(bp, carry, cfg, return_attn="both")
         return out, attn
 
     _, attns = jax.lax.scan(body, tokens, params["blocks"])

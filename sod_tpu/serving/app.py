@@ -216,9 +216,13 @@ def create_app(cfg=None, model_path: Optional[str] = None,
         data = tokens.pop_signup(token)
         if data is None:
             raise HTTPError(400, "Invalid or expired verification link")
+        # timestamps are set explicitly: tables migrated from round 1 have
+        # the columns WITHOUT a default (sqlite ALTER ADD cannot carry a
+        # non-constant default), so relying on DEFAULT CURRENT_TIMESTAMP
+        # would leave NULLs on upgraded databases
         user_id = db.execute(
-            "INSERT INTO user_management (Name, Email, Password, Phone) "
-            "VALUES (%s, %s, %s, %s)",
+            "INSERT INTO user_management (Name, Email, Password, Phone, "
+            "created_at) VALUES (%s, %s, %s, %s, datetime('now'))",
             (data["name"], data["email"], data["password"], data["phone"]))
         req.session["user_id"] = user_id
         req.session["user_name"] = data["name"]
@@ -265,9 +269,13 @@ def create_app(cfg=None, model_path: Optional[str] = None,
             raise HTTPError(401, "Invalid admin credentials")
         row = db.query_one("SELECT * FROM admin WHERE Email=%s", (email,))
         if row is None:
+            # hashed, unlike the ref which stores the credential verbatim
+            # (app.py:1660) — the table browser masks only the tail and a
+            # DB dump must not leak SOD_ADMIN_PASSWORD
             admin_id = db.execute(
                 "INSERT INTO admin (Name, Email, Password, Salary) "
-                "VALUES (%s, %s, %s, %s)", ("Admin", email, password, 100000))
+                "VALUES (%s, %s, %s, %s)",
+                ("Admin", email, hash_password(password), 100000))
         else:
             admin_id = row["Admin_ID"]
         req.session["admin_id"] = admin_id
@@ -356,12 +364,13 @@ def create_app(cfg=None, model_path: Optional[str] = None,
         ext = up.filename.rsplit(".", 1)[1].lower()
         image_id = db.execute(
             "INSERT INTO image (uploaded_image, file_type, file_size, "
-            "user_id) VALUES (%s, %s, %s, %s)",
+            "user_id, uploaded_at) VALUES (%s, %s, %s, %s, datetime('now'))",
             (fname, ext, len(up.data) // 1024, user_id))
         result = (f"Dominant Color: {_dominant_color(up.data)}, "
                   f"Type: {ext}, Size: {len(up.data) / 1024:.2f} KB")
-        db.execute("INSERT INTO result (Result_data, Image_ID, User_ID) "
-                   "VALUES (%s, %s, %s)", (result, image_id, user_id))
+        db.execute("INSERT INTO result (Result_data, Image_ID, User_ID, "
+                   "processed_at) VALUES (%s, %s, %s, datetime('now'))",
+                   (result, image_id, user_id))
         if sub is not None:
             db.execute("UPDATE subscription SET Uploads_Used=Uploads_Used+1 "
                        "WHERE Subscription_ID=%s", (sub["Subscription_ID"],))
@@ -440,14 +449,26 @@ def create_app(cfg=None, model_path: Optional[str] = None,
         plan = PLANS[confirmed["plan"]]
         start = dt.date.today()
         end = start + dt.timedelta(days=SUBSCRIPTION_DAYS)
-        sub_id = db.execute(
-            "INSERT INTO subscription (Plan_Type, Start_Date, End_Date, "
-            "Status, Upload_Limit, Uploads_Used, Amount_Paid, "
-            "Payment_Method, User_ID, Session_ID) VALUES (%s, %s, %s, "
-            "'Active', %s, 0, %s, 'Stripe', %s, %s)",
-            (plan["name"], start.isoformat(), end.isoformat(),
-             plan["upload_limit"], plan["price_usd"], confirmed["user_id"],
-             sid))
+        try:
+            sub_id = db.execute(
+                "INSERT INTO subscription (Plan_Type, Start_Date, End_Date, "
+                "Status, Upload_Limit, Uploads_Used, Amount_Paid, "
+                "Payment_Method, User_ID, Session_ID) VALUES (%s, %s, %s, "
+                "'Active', %s, 0, %s, 'Stripe', %s, %s)",
+                (plan["name"], start.isoformat(), end.isoformat(),
+                 plan["upload_limit"], plan["price_usd"],
+                 confirmed["user_id"], sid))
+        except Exception:
+            # concurrent confirmation of the same session lost the
+            # idx_sub_session race — idempotent success, not a 500
+            existing = db.query_one(
+                "SELECT * FROM subscription WHERE Session_ID=%s", (sid,))
+            if existing is None:
+                raise
+            return jsonify({"success": True, "already_processed": True,
+                            "subscription_id": existing["Subscription_ID"],
+                            "plan": existing["Plan_Type"],
+                            "valid_until": existing["End_Date"]})
         return jsonify({"success": True, "subscription_id": sub_id,
                         "plan": plan["name"], "valid_until": end.isoformat()})
 
@@ -508,8 +529,8 @@ def create_app(cfg=None, model_path: Optional[str] = None,
             result_id = None
         fid = db.execute(
             "INSERT INTO feedback (Rating, Feedback_Type, Feedback_Text, "
-            "User_ID, Result_ID) VALUES (%s, %s, %s, %s, %s)",
-            (rating, ftype, text, user_id, result_id))
+            "User_ID, Result_ID, created_at) VALUES (%s, %s, %s, %s, %s, "
+            "datetime('now'))", (rating, ftype, text, user_id, result_id))
         return jsonify({"success": True, "feedback_id": fid,
                         "message": "Feedback submitted successfully!"})
 

@@ -62,6 +62,12 @@ class Database:
                 if name not in have:
                     conn.execute(
                         f"ALTER TABLE {table} ADD COLUMN {name} {decl}")
+        # created here (NOT in schema.sql) so it runs after the column
+        # migration — otherwise opening a round-1 sod.db crashes on the
+        # missing Session_ID column
+        conn.execute(
+            "CREATE UNIQUE INDEX IF NOT EXISTS idx_sub_session "
+            "ON subscription(Session_ID) WHERE Session_ID IS NOT NULL")
 
     # --- query helpers ------------------------------------------------------
     @staticmethod

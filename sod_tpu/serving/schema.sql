@@ -78,5 +78,7 @@ CREATE INDEX IF NOT EXISTS idx_result_user ON result(User_ID);
 CREATE INDEX IF NOT EXISTS idx_sub_user ON subscription(User_ID);
 CREATE INDEX IF NOT EXISTS idx_feedback_user ON feedback(User_ID);
 
-CREATE UNIQUE INDEX IF NOT EXISTS idx_sub_session
-  ON subscription(Session_ID) WHERE Session_ID IS NOT NULL;
+-- NOTE: idx_sub_session (unique Session_ID) is created by
+-- Database._migrate() AFTER column migration -- creating it here would
+-- crash on pre-round-2 databases whose subscription table lacks the
+-- column (executescript runs before the ALTERs).

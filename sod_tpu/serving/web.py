@@ -218,12 +218,8 @@ class App:
             traceback.print_exc()
             if self.error_handler:
                 resp = self.error_handler(req, e)
-            elif 500 in self.error_pages and "text/html" in req.environ.get(
-                    "HTTP_ACCEPT", "") and not req.path.startswith("/api/"):
-                resp = Response(self.error_pages[500], status=500)
             else:
-                resp = jsonify({"error": "Internal server error",
-                                "message": str(e)}, status=500)
+                resp = self._error_response(req, 500, str(e))
         if not isinstance(resp, Response):
             if isinstance(resp, tuple):
                 resp = jsonify(resp[0], status=resp[1])

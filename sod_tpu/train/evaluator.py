@@ -107,7 +107,17 @@ class Evaluator:
         item 4).  Cached in-memory per evaluator AND persisted beside the
         dataset dir so even a fresh process skips the scan.
         """
-        key = (dataset_name, int(img_size or 0), len(dataset))
+        import zlib
+
+        # fingerprint = filename list + newest mtime, so regenerated
+        # datasets with the same file count don't reuse a stale canvas
+        names_crc = zlib.crc32("|".join(dataset.p_imgs).encode())
+        try:
+            newest = int(max(os.path.getmtime(fp) for fp in dataset.p_imgs))
+        except OSError:
+            newest = 0
+        key = (dataset_name, int(img_size or 0), len(dataset), names_crc,
+               newest)
         if key in self._canvas_cache:
             return self._canvas_cache[key]
 

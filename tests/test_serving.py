@@ -286,3 +286,60 @@ def test_password_hash_roundtrip():
     assert not check_password(h, "wrong")
     # werkzeug-format hash from the shipped dump verifies structurally
     assert not check_password("scrypt:32768:8:1$abc$00ff", "x")
+
+
+def test_round1_database_migrates(tmp_path):
+    """Opening a pre-round-2 sod.db must migrate, not crash: round 1's
+    schema lacks Session_ID/timestamps and the unique index referenced
+    them (code-review r2 finding, reproduced)."""
+    import sqlite3
+
+    db_fp = str(tmp_path / "old.db")
+    conn = sqlite3.connect(db_fp)
+    conn.executescript("""
+      CREATE TABLE user_management (
+        User_ID INTEGER PRIMARY KEY AUTOINCREMENT, Name VARCHAR(100),
+        Email VARCHAR(100) UNIQUE, Password VARCHAR(255), Phone VARCHAR(20));
+      CREATE TABLE admin (
+        Admin_ID INTEGER PRIMARY KEY AUTOINCREMENT, Name VARCHAR(100),
+        Email VARCHAR(100) UNIQUE, Password VARCHAR(100), Salary INTEGER);
+      CREATE TABLE image (
+        image_id INTEGER PRIMARY KEY AUTOINCREMENT,
+        uploaded_image VARCHAR(255), file_type VARCHAR(10),
+        file_size INTEGER, user_id INTEGER);
+      CREATE TABLE result (
+        Result_ID INTEGER PRIMARY KEY AUTOINCREMENT, Result_data TEXT,
+        Image_ID INTEGER, User_ID INTEGER);
+      CREATE TABLE subscription (
+        Subscription_ID INTEGER PRIMARY KEY AUTOINCREMENT,
+        Plan_Type TEXT NOT NULL, Start_Date DATE, End_Date DATE,
+        Status TEXT DEFAULT 'Active', Upload_Limit INTEGER,
+        Uploads_Used INTEGER DEFAULT 0, Amount_Paid DECIMAL(10,2),
+        Payment_Method TEXT NOT NULL, User_ID INTEGER NOT NULL);
+      CREATE TABLE feedback (
+        Feedback_ID INTEGER PRIMARY KEY AUTOINCREMENT, Rating INTEGER,
+        Feedback_Type VARCHAR(50), Feedback_Text TEXT, User_ID INTEGER);
+    """)
+    conn.execute("INSERT INTO user_management (Name, Email, Password) "
+                 "VALUES ('Old', 'old@x.com', 'pw')")
+    conn.commit()
+    conn.close()
+
+    db = Database(db_fp)                 # must not raise
+    cols = {r["name"] for r in db.query("PRAGMA table_info(subscription)")}
+    assert "Session_ID" in cols
+    assert db.scalar("SELECT COUNT(*) FROM user_management") == 1
+
+    # the full product works on the migrated DB, and new rows carry
+    # explicit timestamps (migrated columns have no DEFAULT)
+    app = create_app(db=db, load_model=False,
+                     upload_dir=str(tmp_path / "static"), secret_key="t",
+                     allow_default_admin=True)
+    c = Client(app)
+    _signup_and_login(c, email="new@x.com")
+    c.post("/save_image_info", files={"image": ("a.png", _png_bytes())})
+    assert db.scalar("SELECT uploaded_at FROM image") is not None
+    assert db.scalar("SELECT created_at FROM user_management "
+                     "WHERE Email='new@x.com'") is not None
+    st, r = c.get("/get_recent_uploaded_times")
+    assert st == 200 and len(r["timestamps"]) == 1
