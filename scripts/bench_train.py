@@ -29,11 +29,11 @@ from sod_tpu.train.step import make_train_step
 
 def bench_step(batch_size: int, steps: int = 20, remat: str = "none",
                warmup: int = 3, mode: str = "full",
-               fused_mlp: bool = False) -> float:
+               fused_mlp: bool = False, fused_train: bool = False) -> float:
     """mode: full = fwd+criterion+bwd+AdamW; fwd = model fwd only;
     fwdloss = fwd+criterion (no grad); enc = encoder grad only."""
     cfg = Config(batch_size=batch_size, remat=(remat != "none"),
-                 use_fused_mlp=fused_mlp)
+                 use_fused_mlp=fused_mlp, use_fused_train=fused_train)
     mcfg = config_from(cfg)
     params = maskformer_init(jax.random.key(0), mcfg)
     tx = build_optimizer(cfg, n_iters_per_epoch=100)
@@ -116,6 +116,7 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--modes", nargs="+", default=["full"])
     ap.add_argument("--fused-mlp", action="store_true")
+    ap.add_argument("--fused-train", action="store_true")
     ap.add_argument("--one", action="store_true",
                     help="run exactly one config in THIS process")
     args = ap.parse_args()
@@ -123,9 +124,10 @@ def main():
     if args.one:
         b, mode, remat = args.batches[0], args.modes[0], args.remat[0]
         dt = bench_step(b, steps=args.steps, remat=remat, mode=mode,
-                        fused_mlp=args.fused_mlp)
+                        fused_mlp=args.fused_mlp,
+                        fused_train=args.fused_train)
         print(f"B={b:3d} mode={mode:8s} remat={remat:6s} "
-              f"fmlp={int(args.fused_mlp)} "
+              f"fmlp={int(args.fused_mlp)} ftrain={int(args.fused_train)} "
               f"{dt * 1e3:8.2f} ms/step  {b / dt:8.1f} img/s", flush=True)
         return
 
@@ -144,6 +146,8 @@ def main():
                        "--remat", remat, "--steps", str(args.steps)]
                 if args.fused_mlp:
                     cmd.append("--fused-mlp")
+                if args.fused_train:
+                    cmd.append("--fused-train")
                 r = subprocess.run(cmd, capture_output=True, text=True)
                 out = [ln for ln in r.stdout.splitlines() if "ms/step" in ln]
                 if out:

@@ -92,6 +92,9 @@ class Config:
                                       # backward (bigger train batches)
     use_fused_mlp: bool = False       # fused LN+MLP Pallas kernel (tanh
                                       # GELU; differentiable; any N)
+    use_fused_train: bool = False     # whole-block fused kernel in the
+                                      # train forward (bwd = kernel-
+                                      # recompute VJP of the unfused block)
     mesh_data_axis: int = 1           # data-parallel mesh size (1 = single chip)
     max_gt_masks: int = 8             # static padding for ragged pseudo-mask stacks
 

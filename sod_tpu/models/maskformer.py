@@ -93,7 +93,8 @@ def config_from(cfg) -> "MaskFormerConfig":
         vit=vit_small(patch_size=cfg.patch_size,
                       use_flash=cfg.use_pallas_attention,
                       remat=getattr(cfg, "remat", False),
-                      fused_mlp=getattr(cfg, "use_fused_mlp", False)),
+                      fused_mlp=getattr(cfg, "use_fused_mlp", False),
+                      fused_train=getattr(cfg, "use_fused_train", False)),
     )
 
 

@@ -23,6 +23,8 @@ token at index 0.
 """
 from __future__ import annotations
 
+import dataclasses
+import functools
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -61,6 +63,10 @@ class ViTConfig:
     fused_mlp: bool = False       # LN+MLP+residual as one Pallas kernel
                                   # (differentiable; tanh-GELU, so opt-in —
                                   # exact-parity paths keep erf GELU)
+    fused_train: bool = False     # whole-block fused kernel in the TRAIN
+                                  # forward (backward = VJP of the unfused
+                                  # block with kernel recompute); opt-in
+                                  # like fused_mlp (tanh-GELU)
 
     @property
     def n_pos_tokens(self) -> int:
@@ -68,11 +74,13 @@ class ViTConfig:
 
 
 def vit_small(patch_size: int = 8, use_flash: bool = False,
-              remat: bool = False, fused_mlp: bool = False) -> ViTConfig:
+              remat: bool = False, fused_mlp: bool = False,
+              fused_train: bool = False) -> ViTConfig:
     """deit_small (ref ``vision_transformer.py:513-525``)."""
     return ViTConfig(patch_size=patch_size, embed_dim=384, n_heads=6,
                      pos_grid=224 // patch_size, use_flash=use_flash,
-                     remat=remat, fused_mlp=fused_mlp)
+                     remat=remat, fused_mlp=fused_mlp,
+                     fused_train=fused_train)
 
 
 def vit_tiny(patch_size: int = 16, use_flash: bool = False) -> ViTConfig:
@@ -226,6 +234,49 @@ def _block_apply(bp: dict, x: jax.Array, cfg: ViTConfig,
     return x
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_block_train(bp: dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """Differentiable whole-block fused kernel (training fast path).
+
+    Forward: ONE Pallas program per image computes the entire block with
+    every intermediate in VMEM (``ops.fused_block``; ~1.9x over the
+    per-op flash path at ViT-S/8 inference shapes).  Backward: the VJP of
+    the unfused block at the saved input — which itself routes through
+    the Pallas flash-attention backward and fused-MLP backward kernels,
+    recomputing what they need (nothing but the block input is saved).
+    Tokens are padded to a 128 multiple per call; padded KEYS are masked
+    inside the kernel (``n_real``) so real-token values match the
+    unfused block at bf16/tanh-GELU tolerance.
+    """
+    from sod_tpu.ops.fused_block import fused_available, fused_vit_block
+
+    b, n, d = x.shape
+    n_pad = -(-n // 128) * 128
+    if not (fused_available() and n_pad <= 1024 and d <= 512):
+        return _block_apply(bp, x, cfg)
+    padded = x.astype(jnp.bfloat16)
+    if n_pad != n:
+        padded = jnp.pad(padded, ((0, 0), (0, n_pad - n), (0, 0)))
+    out = fused_vit_block(padded, bp, cfg.n_heads, n_real=n, eps=cfg.ln_eps)
+    return out[:, :n].astype(x.dtype)
+
+
+def _fbt_fwd(bp, x, cfg):
+    return fused_block_train(bp, x, cfg), (bp, x)
+
+
+def _fbt_bwd(cfg, res, g):
+    bp, x = res
+    # tanh-GELU in the recompute to match the kernel's forward
+    bwd_cfg = cfg if cfg.fused_mlp else dataclasses.replace(cfg,
+                                                            fused_mlp=True)
+    _, vjp = jax.vjp(lambda bp_, x_: _block_apply(bp_, x_, bwd_cfg), bp, x)
+    return vjp(g)
+
+
+fused_block_train.defvjp(_fbt_fwd, _fbt_bwd)
+
+
 def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
               all_layers: bool = True,
               token_mask: Optional[jax.Array] = None,
@@ -284,14 +335,20 @@ def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
                 return per_layer
             return layer_norm(params["norm"], final[:, :n], cfg.ln_eps)
 
-    block_fn = _block_apply
-    if cfg.remat:
+    if cfg.fused_train and token_mask is None:
+        # whole-block fused forward + kernel-recompute backward; saves
+        # only the block input per layer (implicit remat)
+        block_fn = lambda bp, x_, cfg_, key_mask=None: fused_block_train(
+            bp, x_, cfg_)
+    elif cfg.remat:
         # recompute block activations in the backward instead of saving
         # them from the scan — trades ~flops for HBM, unlocking larger
         # train batches (matmul-heavy recompute is cheap on the MXU)
         block_fn = jax.checkpoint(
             _block_apply, static_argnums=(2,),
             policy=jax.checkpoint_policies.nothing_saveable)
+    else:
+        block_fn = _block_apply
 
     def body(carry, bp):
         out = block_fn(bp, carry, cfg, key_mask=token_mask)

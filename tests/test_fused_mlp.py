@@ -112,3 +112,30 @@ def test_bwd_pallas_interpret_matches_xla_backward(rng):
             np.testing.assert_allclose(
                 np.asarray(o, np.float32), np.asarray(r, np.float32),
                 atol=3e-2, rtol=3e-2, err_msg=f"{name} n={n}")
+
+
+def test_fused_block_train_cpu_fallback_and_grads(rng):
+    """fused_block_train: CPU fallback equals the exact block; gradients
+    flow through the custom VJP and match autodiff of the block at
+    tanh-GELU tolerance."""
+    from sod_tpu.models.vit import fused_block_train
+
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=1, n_heads=2,
+                    pos_grid=4)
+    params = vit_init(jax.random.key(0), cfg)
+    bp = jax.tree.map(lambda a: a[0], params["blocks"])
+    x = jnp.asarray(rng.randn(2, 17, 32), jnp.float32)
+
+    out = fused_block_train(bp, x, cfg)
+    ref = _block_apply(bp, x, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    g_fused = jax.grad(lambda x: (fused_block_train(bp, x, cfg) ** 2).sum())(x)
+    g_ref = jax.grad(lambda x: (_block_apply(bp, x, cfg) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               atol=3e-2, rtol=3e-2)
+    gw = jax.grad(lambda bp: (fused_block_train(bp, x, cfg) ** 2).sum())(bp)
+    gw_ref = jax.grad(lambda bp: (_block_apply(bp, x, cfg) ** 2).sum())(bp)
+    for a, b in zip(jax.tree.leaves(gw), jax.tree.leaves(gw_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-2, rtol=3e-2)
