@@ -176,7 +176,10 @@ def fused_vit_block(x: jax.Array, bp: dict, n_heads: int, n_real: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # per-image programs are independent — lets Mosaic overlap
+            # the grid (DMA of image i+1 under compute of image i)
+            dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=2 * b * n * d * 2,
             transcendentals=b * n * n + b * n * hidden),
