@@ -9,7 +9,11 @@ Voting": normalized-cut spectral clustering over patch-feature affinities):
 
 * affinity = thresholded cosine similarity of L2-normalized features;
 * normalized Laplacian ``L_sym = I - D^-1/2 A D^-1/2``;
-* the k smallest eigenvectors via dense ``jnp.linalg.eigh`` — at N <= ~800
+* the k smallest eigenvectors via dense ``jnp.linalg.eigh`` — N is
+  ~784 patch nodes for the ViT path and up to 56x56 = 3136 for the
+  mocov2/swav res5 path (dense eigh is still the right call on TPU: one
+  [N, N] f32 affinity is <=40 MB and the O(N^3) solve batches under
+  vmap); at N <= ~800
   patch nodes a dense eigensolve is tiny on the MXU (SURVEY §2 native
   table), no sparse/faiss machinery needed;
 * row-normalized spectral embedding clustered by seeded k-means++ /

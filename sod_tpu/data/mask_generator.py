@@ -26,6 +26,7 @@ k-means) run jitted per batch; filtering/voting/RLE run on host NumPy.
 from __future__ import annotations
 
 import json
+import os
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -174,7 +175,10 @@ class MaskGenerator:
                     for i, s in enumerate(samples):
                         cands = [(up[i] == c).astype(np.uint8)
                                  for c in range(k)]
-                        per_image.setdefault(s["filename"], []).extend(cands)
+                        # pooled by FULL path — distinct images sharing a
+                        # basename must not vote across each other (the
+                        # output JSON is keyed by basename like the ref's)
+                        per_image.setdefault(s["p_img"], []).extend(cands)
         return {k: np.stack(v, 0) for k, v in per_image.items()}
 
     # ------------------------------------------------------------------
@@ -182,11 +186,12 @@ class MaskGenerator:
         """Generate ``{filename: COCO-RLE}`` for a list of image paths."""
         candidates = self.extract_candidate_masks(p_images)
         out = {}
-        for filename, stack in candidates.items():
+        for path, stack in candidates.items():
             filtered, _ = filter_masks(stack, remove_long_masks=True,
                                        remove_small_large_masks=True)
             winner = filtered[vote_mask(filtered)]
-            out[filename] = rle_codec.encode(winner.astype(np.uint8))
+            out[os.path.basename(path)] = rle_codec.encode(
+                winner.astype(np.uint8))
         return out
 
     def dump(self, p_images: List[str], fp: str) -> None:

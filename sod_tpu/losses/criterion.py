@@ -237,9 +237,11 @@ def criterion_forward(
     if objectness is None:
         # the reference skips EVERY per-layer loss when no objectness is
         # given (pyc 1562-1566: ``if batch_objectness is None: continue``)
-        # — with the non-binary-classifier model (which has no objectness
-        # head) training reduces to the contrastive term alone.  Matched
-        # exactly.
+        # — but then CRASHES at ``batch_gt_to_query.append(gt_to_query)``
+        # (pyc 2592, LOAD_FAST_CHECK on a never-assigned local).  We keep
+        # the skip semantics and return the contrastive term alone — a
+        # deliberate, documented divergence from an unreachable-in-practice
+        # reference code path (the live config always has objectness).
         if features is not None and feature_labels is not None:
             con = contrastive_loss(features, feature_labels, temperature,
                                    valid=img_valid)

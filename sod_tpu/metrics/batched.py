@@ -83,19 +83,23 @@ def rect_metrics(pred: jax.Array, gt: jax.Array, h, w,
 def upper_bound_index(pred_masks: jax.Array, gt: jax.Array, h, w,
                       quantity: str = "iou") -> jax.Array:
     """Best query index vs GT (ref evaluator pyc ``_get_upper_bound_mask``):
-    argmax IoU@0.5 (default) / argmax f_measure / argmin MAE over queries.
+    argmax IoU@0.5 (default) / argmax f_measure or f_max / argmin MAE over
+    queries.  The reference binarizes the predictions BEFORE this search
+    (``__call__`` passes ``pred_masks > 0.5``, pyc 216-218), so every
+    quantity — including MAE — scores the binary masks.
 
     :param pred_masks: [Q, H, W] canvas; gt [H, W]."""
     valid = _rect(gt.shape, h, w)
     gt_b = (gt > 0) & valid
     n = valid.sum().astype(jnp.float32)
+    pb = (pred_masks > 0.5) & valid[None]
     if quantity == "iou":
-        pb = (pred_masks > 0.5) & valid[None]
         inter = (pb & gt_b[None]).sum(axis=(-1, -2))
         union = (pb | gt_b[None]).sum(axis=(-1, -2))
         return jnp.argmax(inter / (union + 1e-7))
-    if quantity == "f_measure":
-        pb = (pred_masks > 0.5) & valid[None]
+    if quantity in ("f_measure", "f_max"):
+        # on binary masks the 255-threshold f_max sweep collapses to the
+        # single-threshold f_measure, so the ref accepts both spellings
         tp = (pb & gt_b[None]).sum(axis=(-1, -2)).astype(jnp.float32)
         prec = tp / (pb.sum(axis=(-1, -2)) + 1e-7)
         rec = tp / (gt_b.sum() + 1e-7)
@@ -103,7 +107,7 @@ def upper_bound_index(pred_masks: jax.Array, gt: jax.Array, h, w,
         return jnp.argmax(((1 + b2) * prec * rec) / (b2 * prec + rec + 1e-7))
     if quantity == "mae":
         gtf = gt_b.astype(jnp.float32)
-        mae = (jnp.abs(jnp.where(valid[None], pred_masks, 0.0) - gtf[None])
+        mae = (jnp.abs(pb.astype(jnp.float32) - gtf[None])
                * valid[None]).sum(axis=(-1, -2)) / n
         return jnp.argmin(mae)
     raise ValueError(quantity)
@@ -127,7 +131,7 @@ def eval_batch_metrics(pred_masks: jax.Array, objectness: jax.Array,
         ub_idx = upper_bound_index(pm, g, h, w, cost_type)
         sel = pm[sel_idx]
         ub = pm[ub_idx]
-        out = {k: v for k, v in rect_metrics(sel, g, h, w).items()}
+        out = rect_metrics(sel, g, h, w)
         for k, v in rect_metrics(ub, g, h, w).items():
             out[f"{k}_ub"] = v
         out["selected_index"] = sel_idx

@@ -31,7 +31,9 @@ def _counts_from_mask(mask: np.ndarray) -> np.ndarray:
     nat = _native.counts_from_mask(np.asarray(mask, np.uint8))
     if nat is not None:
         return nat
-    flat = np.asarray(mask, np.uint8).flatten(order="F")
+    # binarize exactly like the native path / pycocotools (any nonzero
+    # pixel is foreground) — a {0,255} mask must not invert or split runs
+    flat = (np.asarray(mask).flatten(order="F") != 0).astype(np.uint8)
     n = flat.size
     if n == 0:
         return np.zeros(0, np.int64)
@@ -39,7 +41,7 @@ def _counts_from_mask(mask: np.ndarray) -> np.ndarray:
     starts = np.concatenate([[0], change])
     ends = np.concatenate([change, [n]])
     runs = ends - starts
-    if flat[0] == 1:
+    if flat[0] != 0:
         runs = np.concatenate([[0], runs])
     return runs.astype(np.int64)
 
@@ -63,7 +65,6 @@ def _leb_encode(counts: np.ndarray) -> str:
     if nat is not None:
         return nat
     out: List[str] = []
-    prev2 = 0
     cnts = counts.tolist()
     for i, x in enumerate(cnts):
         if i > 2:
@@ -76,7 +77,6 @@ def _leb_encode(counts: np.ndarray) -> str:
             if more:
                 c |= 0x20
             out.append(chr(c + 48))
-    del prev2
     return "".join(out)
 
 
