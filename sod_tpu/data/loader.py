@@ -136,13 +136,21 @@ class DataLoader:
             return False
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    if not put(self.collate_fn(samples)):
-                        return
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__,
+                                                idxs))
+                        if not put(self.collate_fn(samples)):
+                            return
+            except BaseException as e:  # noqa: BLE001
+                # surface loader errors at the consumer — a dying producer
+                # would otherwise leave the consumer blocked on q.get()
+                # forever (e.g. one corrupt JPEG freezing the whole run)
+                put(_Error(e))
+                return
             put(_END)
 
         t = threading.Thread(target=produce, daemon=True)
@@ -152,9 +160,18 @@ class DataLoader:
                 item = q.get()
                 if item is _END:
                     return
+                if isinstance(item, _Error):
+                    raise item.exc
                 yield item
         finally:
             stop.set()
 
 
 _END = object()
+
+
+class _Error:
+    """Producer-side exception, re-raised in the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc

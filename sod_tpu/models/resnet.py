@@ -159,12 +159,18 @@ def _bottleneck_init(rng, cin, planes, has_down, down_stride, dtype):
     return p
 
 
-def _bottleneck_apply(p, x, stride, dilation, train=False, momentum=0.1,
-                      stats=None):
+def _bottleneck_apply(p, x, stride, dil_strided, dil_rest, train=False,
+                      momentum=0.1, stats=None):
+    """conv2 is the (potentially) strided 3x3 — under ``_nostride_dilate``
+    it carries ``dilate // 2`` in the stage's first block (``dil_strided``)
+    and the full dilation elsewhere; ``dil_rest`` is unused here (the 1x1
+    convs never dilate)."""
+    del dil_rest
     stats = {} if stats is None else stats
     out = jax.nn.relu(_bn(p, "bn1", conv(p["conv1"], x), train, momentum,
                           stats))
-    out = jax.nn.relu(_bn(p, "bn2", conv(p["conv2"], out, stride, dilation),
+    out = jax.nn.relu(_bn(p, "bn2", conv(p["conv2"], out, stride,
+                                         dil_strided),
                           train, momentum, stats))
     out = _bn(p, "bn3", conv(p["conv3"], out), train, momentum, stats)
     if "down_conv" in p:
@@ -190,12 +196,17 @@ def _basic_init(rng, cin, planes, has_down, dtype):
     return p
 
 
-def _basic_apply(p, x, stride, dilation, train=False, momentum=0.1,
-                 stats=None):
+def _basic_apply(p, x, stride, dil_strided, dil_rest, train=False,
+                 momentum=0.1, stats=None):
+    """BasicBlock has TWO 3x3 convs: under ``_nostride_dilate`` the
+    originally-strided conv1 gets ``dilate // 2`` in the stage's first
+    block while conv2 always carries the FULL stage dilation (ref
+    ``resnet_backbone.py:43-88``)."""
     stats = {} if stats is None else stats
-    out = jax.nn.relu(_bn(p, "bn1", conv(p["conv1"], x, stride, dilation),
+    out = jax.nn.relu(_bn(p, "bn1", conv(p["conv1"], x, stride,
+                                         dil_strided),
                           train, momentum, stats))
-    out = _bn(p, "bn2", conv(p["conv2"], out, 1, dilation), train, momentum,
+    out = _bn(p, "bn2", conv(p["conv2"], out, 1, dil_rest), train, momentum,
               stats)
     if "down_conv" in p:
         residual = _bn(p, "down_bn", conv(p["down_conv"], x, stride),
@@ -307,10 +318,10 @@ def resnet_apply(params: dict, x: jax.Array,
         layer_stats = stats.setdefault(f"layer{i + 1}", {})
         for b in range(len([k for k in blocks if k.startswith("block")])):
             stride = first_stride if b == 0 else 1
-            dil = first_dil if b == 0 else rest_dil
+            dil_strided = first_dil if b == 0 else rest_dil
             block_stats = layer_stats.setdefault(f"block{b}", {})
-            h = apply_fn(blocks[f"block{b}"], h, stride, dil, train,
-                         momentum, block_stats)
+            h = apply_fn(blocks[f"block{b}"], h, stride, dil_strided,
+                         rest_dil, train, momentum, block_stats)
         outs[f"res{i + 2}"] = h
     if not train:
         stats.clear()

@@ -253,7 +253,12 @@ def fused_block_train(bp: dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
     b, n, d = x.shape
     n_pad = -(-n // 128) * 128
     if not (fused_available() and n_pad <= 1024 and d <= 512):
-        return _block_apply(bp, x, cfg)
+        # fallback must be the SAME function the VJP differentiates
+        # (tanh-GELU) — otherwise gradients would belong to a different
+        # forward than the loss evaluated
+        fb_cfg = cfg if cfg.fused_mlp else dataclasses.replace(
+            cfg, fused_mlp=True)
+        return _block_apply(bp, x, fb_cfg)
     padded = x.astype(jnp.bfloat16)
     if n_pad != n:
         padded = jnp.pad(padded, ((0, 0), (0, n_pad - n), (0, 0)))
@@ -312,8 +317,11 @@ def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
         # for the 5x6 unrolled chunk/head segments), so larger inputs take
         # the flash-attention path below.
         # (dim guard: ViT-B weights alone (~14 MB bf16) would overflow
-        # VMEM alongside activations — ViT-S/Ti only)
-        if fused_available() and n_pad <= 1024 and d <= 512:
+        # VMEM alongside activations — ViT-S/Ti only; dtype guard: the
+        # kernel is bf16 — an fp32 compute_dtype request (parity
+        # validation) must keep the exact unfused path)
+        if (fused_available() and n_pad <= 1024 and d <= 512
+                and tokens.dtype == jnp.bfloat16):
             padded = tokens.astype(jnp.bfloat16)
             kmask = None
             if n_pad != n:

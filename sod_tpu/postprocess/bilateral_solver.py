@@ -57,8 +57,16 @@ class BilateralGrid:
             (im_yuv[..., 2] / sigma_chroma).astype(int),
         ]).reshape(-1, 5)
         self.npixels, self.dim = coords.shape
-        hash_vec = MAX_VAL ** np.arange(self.dim)
-        hashed = coords @ hash_vec
+        # mixed-radix hash over the ACTUAL per-dim coordinate ranges — the
+        # reference's fixed base-255 hash (bilateral_solver.py:55) silently
+        # collides once any grid coordinate exceeds 255 (e.g. a >8160px-
+        # wide upload at sigma_spatial=32), fusing unrelated vertices
+        coords -= coords.min(axis=0)
+        # radix = max coord + 2, so the +-1 neighbour probes (digits -1 and
+        # max+1) can never alias a real vertex via digit carry/borrow
+        extents = coords.max(axis=0).astype(np.int64) + 2
+        hash_vec = np.concatenate([[1], np.cumprod(extents[:-1])])
+        hashed = coords.astype(np.int64) @ hash_vec
         uniq, uniq_idx, self.pixel_to_vertex = np.unique(
             hashed, return_index=True, return_inverse=True)
         self.nvertices = len(uniq)

@@ -42,8 +42,10 @@ from sod_tpu.models.maskformer import (
 from sod_tpu.models.vit import pos_embed_canvas_device
 from sod_tpu.ops.resize import _resize_matrix, interpolate_bilinear
 
-_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+from sod_tpu.data.augment import (  # single source of truth
+    IMAGENET_MEAN as _IMAGENET_MEAN,
+    IMAGENET_STD as _IMAGENET_STD,
+)
 
 _METRICS = ("f_measure", "f_max", "f_mean", "mae", "iou", "pixel_acc",
             "s_measure")

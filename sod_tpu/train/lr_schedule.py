@@ -22,8 +22,13 @@ def poly_schedule(base_lr: float, total_iters: int, warmup_iters: int = 0,
     def schedule(step):
         t = jnp.asarray(step, jnp.float32)
         if cycle_iters:
-            # reference wrap: T cycles within an epoch (see module docstring)
-            t = jnp.mod(t, cycle_iters)
+            # reference wrap: ``get_lr`` computes the factor BEFORE
+            # ``cur_iter %= n; cur_iter += 1`` (utils/lr_scheduler.py:38),
+            # so T runs 0, 1..n, 1..n, ... — it revisits 0 only at the
+            # very first step (a plain mod would produce a zero-LR
+            # warmup step at the top of EVERY epoch)
+            t = jnp.where(t <= cycle_iters, t,
+                          jnp.mod(t - 1, cycle_iters) + 1)
         factor = jnp.where(
             (warmup_iters > 0) & (t < warmup_iters),
             t / max(warmup_iters, 1),

@@ -64,7 +64,9 @@ class Trainer:
             params = maskformer_init(jax.random.key(cfg.seed), self.mcfg)
         self.params = params
 
-        n_iters = max(1, len(self.dataset) // cfg.batch_size)
+        # ceil: the loader runs drop_last=False (padded collate), exactly
+        # like the reference's default DataLoader length
+        n_iters = max(1, -(-len(self.dataset) // cfg.batch_size))
         self.tx = build_optimizer(cfg, n_iters_per_epoch=n_iters)
         self.opt_state = self.tx.init(self.params)
         self.train_step = make_train_step(cfg, self.tx, self.mcfg)
@@ -122,6 +124,10 @@ class Trainer:
                 jax.numpy.asarray, jax.tree.unflatten(
                     jax.tree.structure(template), r_leaves))
         self.n_iters_done = int(state.get("n_iters", 0))
+        # restore best-IoU trackers — otherwise the first post-resume
+        # eval always clobbers best_model_* with a possibly-worse model
+        best = (state.get("extra") or {}).get("best_scores") or {}
+        self.best_scores.update({k: float(v) for k, v in best.items()})
         if self.mesh is not None:
             rep = replicated(self.mesh)
             self.params = jax.device_put(self.params, rep)
@@ -182,7 +188,8 @@ class Trainer:
 
         save_checkpoint(os.path.join(self.dir_ckpt, "latest_model"),
                         self.params, self.opt_state, epoch=num_epoch,
-                        n_iters=self.n_iters_done)
+                        n_iters=self.n_iters_done,
+                        extra={"best_scores": dict(self.best_scores)})
         return epoch_metrics
 
     # ------------------------------------------------------------------

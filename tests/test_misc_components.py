@@ -57,9 +57,18 @@ def test_poly_schedule():
     assert abs(float(s(5)) - 0.5) < 1e-6            # warmup
     assert abs(float(s(10)) - 0.9 ** 0.9) < 1e-6
     assert float(s(99)) < 0.05
-    # reference per-epoch wrap quirk
-    sq = poly_schedule(1.0, total_iters=100, cycle_iters=10)
-    assert abs(float(sq(10)) - float(sq(0))) < 1e-6
+    # reference per-epoch wrap quirk — exact T sequence of the torch Poly
+    # (utils/lr_scheduler.py:26-41: factor from cur_iter, THEN
+    # ``cur_iter %= n; cur_iter += 1`` → 0, 1..n, 1..n, ...)
+    cycle, total = 10, 100
+    sq = poly_schedule(1.0, total_iters=total, cycle_iters=cycle)
+    cur = 0
+    for step in range(35):
+        ref_factor = (1.0 - cur / total) ** 0.9
+        assert abs(float(sq(step)) - ref_factor) < 1e-6, step
+        cur = cur % cycle + 1
+    # NOT a plain mod: T revisits 0 only at the very first step
+    assert float(sq(10)) != float(sq(0))
     assert abs(float(sq(15)) - float(sq(5))) < 1e-6
 
 
