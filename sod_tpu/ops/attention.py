@@ -25,11 +25,14 @@ from sod_tpu.ops.layers import linear
 
 
 def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
-          key_mask: Optional[jax.Array] = None) -> jax.Array:
+          key_mask: Optional[jax.Array] = None,
+          return_probs: bool = False):
     """softmax(q k^T * scale) v  over [B, H, N, d] tensors (fp32 softmax).
 
     :param key_mask: optional [B, Nk] bool; False keys are excluded from the
         softmax (canvas-padding tokens in fixed-shape variable-size eval).
+    :param return_probs: also return the fp32 attention probabilities
+        (single source of truth for the attn-returning paths).
     """
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
@@ -37,8 +40,10 @@ def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
         logits = jnp.where(key_mask[:, None, None, :], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
-    return out.astype(v.dtype)
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    if return_probs:
+        return out, probs
+    return out
 
 
 def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
@@ -77,13 +82,7 @@ def self_attention_qkv(
     v = qkv[:, :, 2].transpose(0, 2, 1, 3)
 
     if return_attn:
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        if key_mask is not None:
-            logits = jnp.where(key_mask[:, None, None, :], logits, -1e30)
-        probs = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32).astype(v.dtype)
+        out, probs = _sdpa(q, k, v, scale, key_mask, return_probs=True)
         out = linear(params["proj"], _merge_heads(out))
         return out, probs
 

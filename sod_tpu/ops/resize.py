@@ -110,6 +110,8 @@ def resize_shorter_edge(size_hw, target: int):
     shorter edge equals ``target`` (ref
     ``datasets/augmentations/geometric_transforms.py`` resize(edge='shorter'))."""
     h, w = size_hw
+    # int() truncation, not round(): ref compute_size uses
+    # ``int(float(w) / h * output_size)`` (geometric_transforms.py:54-67)
     if h <= w:
-        return target, max(1, round(w * target / h))
-    return max(1, round(h * target / w)), target
+        return target, max(1, int(float(w) / h * target))
+    return max(1, int(float(h) / w * target)), target

@@ -47,6 +47,10 @@ def _counts_from_mask(mask: np.ndarray) -> np.ndarray:
 
 
 def _mask_from_counts(counts: np.ndarray, h: int, w: int) -> np.ndarray:
+    if len(counts) and int(counts.min()) < 0:
+        # must reject BEFORE the native path: negative counts that still
+        # sum to h*w would drive the C++ expansion loop out of bounds
+        raise ValueError("RLE counts must be non-negative")
     total = int(counts.sum())
     if total != h * w:
         raise ValueError(f"RLE counts sum {total} != h*w {h * w}")

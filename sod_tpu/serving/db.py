@@ -23,13 +23,25 @@ class Database:
         self.path = path
         self._local = threading.local()
         self._lock = threading.Lock()
+        # plain ':memory:' is per-connection — with thread-local
+        # connections every worker thread would see a fresh EMPTY
+        # database.  A named shared-cache memory DB (held alive by an
+        # anchor connection) gives all threads the same store.
+        self._uri = None
+        self._anchor = None
+        if path == ":memory:":
+            self._uri = f"file:sodmem{id(self)}?mode=memory&cache=shared"
+            self._anchor = sqlite3.connect(self._uri, uri=True,
+                                           check_same_thread=False)
         self.initialize()
 
     # --- connection management --------------------------------------------
     def _conn(self) -> sqlite3.Connection:
         conn = getattr(self._local, "conn", None)
         if conn is None:
-            conn = sqlite3.connect(self.path, check_same_thread=False)
+            conn = sqlite3.connect(self._uri or self.path,
+                                   uri=self._uri is not None,
+                                   check_same_thread=False)
             conn.row_factory = sqlite3.Row
             conn.execute("PRAGMA foreign_keys=ON")
             self._local.conn = conn
@@ -125,14 +137,11 @@ class Database:
 def open_database(url: Optional[str] = None) -> Database:
     url = url or os.environ.get("SOD_DB_URL", "")
     if url.startswith("mysql://"):
-        try:
-            import MySQLdb  # noqa: F401
-
-            raise NotImplementedError(
-                "MySQL backend: install MySQLdb and extend Database; the "
-                "sqlite backend is the supported default here")
-        except ImportError:
-            pass
+        # fail loudly either way — silently opening the URL as a sqlite
+        # file path would create a junk database
+        raise NotImplementedError(
+            "MySQL backend not supported: install MySQLdb and extend "
+            "Database, or unset SOD_DB_URL to use the sqlite default")
     if url.startswith("sqlite://"):
         return Database(url[len("sqlite://"):] or ":memory:")
     return Database(url or os.environ.get("SOD_DB_PATH", "sod.db"))

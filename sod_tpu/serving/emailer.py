@@ -18,8 +18,14 @@ OTP_TTL_SECONDS = 600
 
 
 class Emailer:
+    #: capture/audit log is bounded — an always-on server must not
+    #: accumulate every email body forever
+    MAX_SENT = 500
+
     def __init__(self):
-        self.sent: List[Dict] = []        # capture backend / audit log
+        from collections import deque
+
+        self.sent = deque(maxlen=self.MAX_SENT)
         self.host = os.environ.get("SOD_SMTP_HOST")
         self.port = int(os.environ.get("SOD_SMTP_PORT", "587"))
         self.user = os.environ.get("SOD_SMTP_USER", "")
@@ -58,6 +64,12 @@ class TokenStore:
     # --- signup verification ----------------------------------------------
     def create_signup(self, name: str, email: str, password_hash: str,
                       phone: str) -> str:
+        # sweep expired entries — unverified (bot) signups would otherwise
+        # accumulate forever in the long-running server
+        now = time.time()
+        for k in [k for k, v in self.pending_signups.items()
+                  if v["expires"] < now]:
+            del self.pending_signups[k]
         token = secrets.token_urlsafe(24)
         self.pending_signups[token] = {
             "name": name, "email": email, "password": password_hash,

@@ -44,6 +44,12 @@ class Request:
                 length = int(self.environ.get("CONTENT_LENGTH") or 0)
             except ValueError:
                 length = 0
+            # reject BEFORE reading: per-file checks in the handlers run
+            # only after the whole body is resident — an attacker-declared
+            # multi-GB Content-Length must not be read into memory
+            limit = getattr(self.app, "max_content_length", None)
+            if limit and length > limit:
+                raise HTTPError(413, "Request body too large")
             self._body = (self.environ["wsgi.input"].read(length)
                           if length else b"")
         return self._body
@@ -144,7 +150,11 @@ class App:
     """WSGI application with Flask-like routing."""
 
     def __init__(self, secret_key: str, static_dir: Optional[str] = None,
-                 static_url: str = "/static/"):
+                 static_url: str = "/static/",
+                 max_content_length: int = 64 * 1024 * 1024):
+        #: request bodies above this are rejected with 413 before being
+        #: read (50 MB per-file cap + multipart overhead headroom)
+        self.max_content_length = max_content_length
         self.secret_key = secret_key.encode()
         self.routes: List[Tuple[re.Pattern, List[str], Callable]] = []
         self.static_dir = static_dir
@@ -167,8 +177,12 @@ class App:
     # --- routing -----------------------------------------------------------
     def route(self, rule: str, methods: Optional[List[str]] = None):
         methods = [m.upper() for m in (methods or ["GET"])]
-        pattern = re.sub(r"<([a-zA-Z_][a-zA-Z0-9_]*)>", r"(?P<\1>[^/]+)",
-                         rule)
+        # literal segments are regex-escaped ('/Contact.html' must not
+        # match '/ContactXhtml'); <param> placeholders become groups
+        parts = re.split(r"<([a-zA-Z_][a-zA-Z0-9_]*)>", rule)
+        pattern = "".join(
+            f"(?P<{p}>[^/]+)" if i % 2 else re.escape(p)
+            for i, p in enumerate(parts))
         compiled = re.compile(f"^{pattern}$")
 
         def deco(fn):
@@ -238,12 +252,16 @@ class App:
     def _dispatch(self, req: Request) -> Response:
         if self.static_dir and req.path.startswith(self.static_url):
             return self._serve_static(req.path[len(self.static_url):])
+        path_matched = False
         for pattern, methods, fn in self.routes:
             m = pattern.match(req.path)
             if m:
                 if req.method not in methods:
+                    path_matched = True   # some other verb serves it
                     continue
                 return fn(req, **m.groupdict())
+        if path_matched:
+            return self._error_response(req, 405, "Method not allowed")
         return self._error_response(
             req, 404, "The requested resource was not found")
 

@@ -89,9 +89,18 @@ def get_image_paths(pattern: Union[str, "re.Pattern"], dir_base: str = ".",
         pattern = re.compile(pattern)
     candidates = list(Path(dir_base).rglob(f"*.{ext}"))
     assert candidates, f"No candidate files found under {dir_base}"
+
+    def natural_key(s: str):
+        # the reference natsort-orders its walk (utils/misc.py:256:
+        # ``natsorted``) — img2 before img10; digit runs compare
+        # numerically, text case-insensitively
+        return [int(t) if t.isdigit() else t.lower()
+                for t in re.split(r"(\d+)", s)]
+
     p_imgs = sorted(
-        str(p.resolve()) for p in candidates
-        if pattern.match(str(p.resolve())) is not None)
+        (str(p.resolve()) for p in candidates
+         if pattern.match(str(p.resolve())) is not None),
+        key=natural_key)
     if not p_imgs:
         raise FileNotFoundError(f"no files matching {pattern.pattern}")
     return p_imgs
