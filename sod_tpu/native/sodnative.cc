@@ -49,11 +49,16 @@ int64_t rle_counts_from_mask(const uint8_t* mask, int64_t h, int64_t w,
   return n;
 }
 
-// counts -> row-major mask.  Returns 0 on success, -1 on size mismatch.
+// counts -> row-major mask.  Returns 0 on success, -1 on size mismatch or
+// malformed counts (negatives could otherwise sum to h*w while driving
+// `pos` out of bounds — defense in depth on top of the Python guard).
 int rle_mask_from_counts(const int64_t* counts, int64_t n, uint8_t* mask,
                          int64_t h, int64_t w) {
   int64_t total = 0;
-  for (int64_t i = 0; i < n; ++i) total += counts[i];
+  for (int64_t i = 0; i < n; ++i) {
+    if (counts[i] < 0) return -1;
+    total += counts[i];
+  }
   if (total != h * w) return -1;
   int64_t pos = 0;
   for (int64_t i = 0; i < n; ++i) {

@@ -71,3 +71,15 @@ def test_fill_holes_matches_scipy(rng):
         ours = native.fill_holes(m.astype(np.uint8))
         theirs = ndimage.binary_fill_holes(m)
         np.testing.assert_array_equal(ours, theirs)
+
+
+def test_decode_rejects_negative_counts():
+    """Crafted counts with negatives summing to h*w must raise, never
+    write out of bounds (native + fallback)."""
+    import pytest
+
+    from sod_tpu.ops import rle
+
+    bad = {"size": [4, 4], "counts": [21, -5]}
+    with pytest.raises(ValueError):
+        rle.decode(bad)
