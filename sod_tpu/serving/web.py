@@ -62,6 +62,8 @@ class Request:
         if self._json is None:
             try:
                 self._json = json.loads(self.body.decode("utf-8") or "null")
+            except HTTPError:
+                raise              # 413 from the body-size guard
             except Exception:
                 if not silent:
                     raise

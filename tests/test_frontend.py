@@ -125,3 +125,29 @@ def test_dashboard_drives_full_flow_endpoints(client):
                b"/create-checkout-session", b"/submit_feedback",
                b"/get_recent_uploaded_times", b"/logout"):
         assert ep in body, ep
+
+
+def test_oversized_body_rejected_413(client):
+    """A declared Content-Length above the cap is rejected BEFORE the
+    body is read (no unbounded memory)."""
+    import io
+
+    env = {"REQUEST_METHOD": "POST", "PATH_INFO": "/user_signup",
+           "QUERY_STRING": "", "CONTENT_TYPE": "application/json",
+           "CONTENT_LENGTH": str(99_999_999_999),
+           "wsgi.input": io.BytesIO(b"{}"), "HTTP_COOKIE": ""}
+    got = {}
+    body = b"".join(client.app(env, lambda s, h: got.update(status=s)))
+    assert got["status"].startswith("413")
+
+
+def test_method_mismatch_is_405(client):
+    st, _ = client.get("/user_signup")
+    assert st == 405
+
+
+def test_route_literals_do_not_overmatch(client):
+    st, _ = client.get("/ContactXhtml", headers=HTML)
+    assert st == 404
+    st, _ = client.get("/Contact.html", headers=HTML)
+    assert st == 200
