@@ -25,7 +25,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--suffix", type=str, default="")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--cost_type", type=str, default="iou",
-                   choices=["iou", "f_measure", "mae"])
+                   choices=["iou", "f_measure", "f_max", "mae"])
+    p.add_argument("--debug", "-d", action="store_true",
+                   help="break after one batch (ref evaluator pyc 272)")
     return p
 
 
@@ -60,7 +62,8 @@ def main(argv=None) -> None:
         params = maskformer_init(jax.random.key(cfg.seed), mcfg)
 
     experim = define_experim_name(cfg)
-    evaluator = Evaluator(params, cfg, mcfg, batch_size=args.batch_size)
+    evaluator = Evaluator(params, cfg, mcfg, batch_size=args.batch_size,
+                          debug=args.debug)
     metrics = evaluator(dataset_name=args.dataset_name,
                         dir_ckpt=f"{args.dir_root}/eval/{experim}",
                         batch_size=args.batch_size, cost_type=args.cost_type)
