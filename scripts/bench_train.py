@@ -10,7 +10,6 @@ chained inside one jit via ``lax.scan`` and synced by fetching a scalar
 (CLAUDE.md environment quirks).
 """
 import argparse
-import functools
 import os
 import sys
 import time
@@ -82,22 +81,29 @@ def bench_step(batch_size: int, steps: int = 20, remat: str = "none",
                 temperature=cfg.temperature)
             return res["loss"]
 
-        @functools.partial(jax.jit, static_argnums=(3,))
-        def run_n(params, opt_state, batch, n):
-            def body(c, _):
-                # thread the carry into the input so iterations can't be
-                # CSE'd away
-                bt = {**batch, "image": batch["image"] + c * 1e-12}
-                if mode in ("fwd", "fwdloss"):
-                    v = loss_of(params, bt)
-                else:                       # enc: grad wrt encoder only
-                    v = jax.grad(lambda e: loss_of(
-                        {**params, "encoder": e}, bt))(
-                        params["encoder"])["cls_token"].sum()
-                return v.astype(jnp.float32), v
+        # same methodology as mode=full: a Python loop of async dispatches
+        # serialized by a data dependence (scalar folded into the image),
+        # ONE trailing scalar fetch.  A lax.scan over iterations measured
+        # up to 5x slower than the underlying computation — unusable as a
+        # proxy (CLAUDE.md tunnel rules).
+        @jax.jit
+        def one(params, batch, carry):
+            bt = {**batch, "image": batch["image"] + carry * 1e-20}
+            if mode in ("fwd", "fwdloss"):
+                v = loss_of(params, bt)
+            elif mode == "enc":              # grad wrt encoder only
+                v = jax.grad(lambda e: loss_of(
+                    {**params, "encoder": e}, bt))(
+                    params["encoder"])["cls_token"].sum()
+            else:                            # grad: full-params grad, no opt
+                v = jax.grad(loss_of)(params, bt)["query_embed"].sum()
+            return v.astype(jnp.float32)
 
-            _, vals = jax.lax.scan(body, jnp.float32(0), None, length=n)
-            return params, opt_state, vals[-1].sum()
+        def run_n(params, opt_state, batch, n):
+            v = jnp.float32(0)
+            for _ in range(n):
+                v = one(params, batch, v)
+            return params, opt_state, v
 
     # warmup / compile
     p, o, loss = run_n(params, opt_state, batch, warmup)

@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--fused-mlp", action="store_true")
+    ap.add_argument("--fused-train", action="store_true",
+                    help="fully-fused train blocks (Pallas fwd+bwd attn "
+                         "and MLP kernels, ops/fused_attn + ops/fused_mlp)")
     ap.add_argument("--no-flash", action="store_true",
                     help="pure-XLA attention (no Pallas fwd/bwd kernels)")
     ap.add_argument("--lr", type=float, default=2e-5)
@@ -71,6 +74,7 @@ def main():
     cfg = Config(batch_size=args.batch, lr=args.lr, lr_warmup_duration=1,
                  n_epochs=10,
                  use_fused_mlp=args.fused_mlp,
+                 use_fused_train=args.fused_train,
                  use_pallas_attention=not args.no_flash)
     mcfg = config_from(cfg)
     params = maskformer_init(jax.random.key(0), mcfg)
@@ -97,7 +101,8 @@ def main():
     iou1 = eval_iou(p, mcfg, eval_batch)
     dt = time.perf_counter() - t0
     print(f"final: eval IoU {iou0:.3f} -> {iou1:.3f} in {args.steps} steps "
-          f"/ {dt:.1f}s  (fused_mlp={int(args.fused_mlp)})", flush=True)
+          f"/ {dt:.1f}s  (fused_mlp={int(args.fused_mlp)} "
+          f"fused_train={int(args.fused_train)})", flush=True)
     assert iou1 > 0.8, f"learning check failed: IoU {iou1}"
 
 

@@ -1,0 +1,424 @@
+"""Fused LayerNorm -> QKV -> multi-head self-attention -> output projection
+-> +residual (Pallas/TPU) — the attention half of a ViT encoder block, with
+a Pallas kernel in BOTH directions.
+
+Round 2 measured the train step at ~24 % MFU with the backward as its
+dominant cost: the ``use_fused_train`` path ran a fused *forward* but its
+VJP recomputed the block through per-op XLA glue (LN fwd/bwd, qkv matmul
+fwd/bwd, proj bwd as separate HLOs, each with an HBM round trip) around the
+flash-attention backward.  This kernel closes that gap: the backward is ONE
+program per image that recomputes LN/QKV/probabilities in VMEM and emits
+dx plus every weight gradient, accumulated across the batch grid exactly
+like ``ops.fused_mlp``'s backward.  Composed with ``fused_ln_mlp`` the
+whole train-mode encoder block is Pallas forward and backward.
+
+Semantics (bit-comparable to the unfused block half at bf16 tolerance):
+
+* LayerNorm in f32, matmuls in bf16 with f32 accumulation;
+* tokens padded to a 128 multiple; padded KEYS are masked from the softmax
+  (``n_real``); padded q rows carry zero upstream gradient so their
+  contributions to weight grads vanish identically;
+* weights in the (in, out) layout of ``sod_tpu.ops.layers``.
+
+Reference: the attention half of ``networks/vision_transformer.py:136-170``
+(Block.forward) — fused here because the reference's per-op torch pipeline
+has no TPU equivalent worth copying.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+#: whole-N f32 score slabs per head; 1536 matches the flash backward's cap
+#: (~4 slabs x 9.4 MB under the 100 MB VMEM budget)
+_MAX_N = 1536
+_MAX_D = 768
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel (one image per program)
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(x_ref, ln_s, ln_b, wqkv, bqkv, wproj, bproj, o_ref, *,
+                n_heads: int, n_real: int, eps: float, scale: float):
+    x = x_ref[0].astype(jnp.float32)                       # [N, D]
+    n, d = x.shape
+    hd = d // n_heads
+
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    h = ((x - mean) * jax.lax.rsqrt(var + eps)
+         * ln_s[0].astype(jnp.float32)
+         + ln_b[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    qkv = jnp.dot(h, wqkv[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv[0].astype(jnp.float32)).astype(jnp.bfloat16)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    key_ok = col < n_real
+    heads = []
+    for i in range(n_heads):                               # static unroll
+        q = qkv[:, i * hd:(i + 1) * hd]
+        k = qkv[:, d + i * hd:d + (i + 1) * hd]
+        v = qkv[:, 2 * d + i * hd:2 * d + (i + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(key_ok, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        heads.append(jnp.dot(p.astype(jnp.bfloat16), v,
+                             preferred_element_type=jnp.float32)
+                     .astype(jnp.bfloat16))
+    attn = jnp.concatenate(heads, axis=1)                  # [N, D]
+    y = jnp.dot(attn, wproj[:], preferred_element_type=jnp.float32)
+    o_ref[0] = (x + y + bproj[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _fwd_pallas(x, weights, n_heads, n_real, eps, scale,
+                interpret=False):
+    b, n, d = x.shape
+    weights = [w.astype(jnp.bfloat16) for w in weights]
+    rep = lambda w: pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim,
+                                 memory_space=pltpu.VMEM)
+    img = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, n_heads=n_heads, n_real=n_real,
+                          eps=eps, scale=scale),
+        grid=(b,),
+        in_specs=[img] + [rep(w) for w in weights],
+        out_specs=img,
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d * 4 * d + 4 * b * n * n * d,
+            bytes_accessed=2 * b * n * d * 2,
+            transcendentals=b * n * n),
+        interpret=interpret,
+    )(x, *weights)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel (one image per program; weight grads accumulate across
+# the batch grid — constant-index output blocks stay VMEM resident)
+# ---------------------------------------------------------------------------
+
+#: q-row chunk for the backward's score slabs — bounds the transient
+#: [CHUNK, N] f32 buffers so the whole kernel stays under XLA's ~20.6 MB
+#: scoped-VMEM budget (a monolithic [N, N] version measured 21.6 MB and
+#: failed to schedule inside the full train step)
+_BWD_CHUNK = 512
+
+
+def _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
+                dx_ref, dls_ref, dlb_ref, dwqkv_ref, dbqkv_ref,
+                dwproj_ref, dbproj_ref, *,
+                n_heads: int, n_real: int, eps: float, scale: float):
+    i = pl.program_id(0)
+    x = x_ref[0].astype(jnp.float32)                       # [N, D]
+    g = g_ref[0].astype(jnp.float32)                       # [N, D] (padded
+    n, d = x.shape                                         #  rows are zero)
+    hd = d // n_heads
+    s_ln = ln_s[0].astype(jnp.float32)
+
+    # ---- recompute forward intermediates in VMEM ----
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * inv
+    h = (xhat * s_ln + ln_b[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    qkv = jnp.dot(h, wqkv[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv[0].astype(jnp.float32)).astype(jnp.bfloat16)
+
+    gc = g.astype(jnp.bfloat16)
+    # dattn = g @ Wproj^T
+    dattn = jax.lax.dot_general(gc, wproj[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32
+                                ).astype(jnp.bfloat16)     # [N, D]
+
+    first = i == 0
+    chunk = min(_BWD_CHUNK, n)
+    key_row = (jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) < n_real)
+    dh = jnp.zeros((n, d), jnp.float32)
+    for hi in range(n_heads):                              # static unroll
+        q = qkv[:, hi * hd:(hi + 1) * hd]
+        k = qkv[:, d + hi * hd:d + (hi + 1) * hd]
+        v = qkv[:, 2 * d + hi * hd:2 * d + (hi + 1) * hd]
+        do = dattn[:, hi * hd:(hi + 1) * hd]
+        dk = jnp.zeros((n, hd), jnp.float32)
+        dv = jnp.zeros((n, hd), jnp.float32)
+        dq_chunks = []
+        o_chunks = []
+        for c0 in range(0, n, chunk):                      # q-row chunks
+            qc = q[c0:c0 + chunk]
+            doc = do[c0:c0 + chunk]
+            s = jax.lax.dot_general(
+                qc, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale    # [C, N]
+            s = jnp.where(key_row, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            pc = p.astype(jnp.bfloat16)
+            o_chunks.append(
+                jnp.dot(pc, v, preferred_element_type=jnp.float32)
+                .astype(jnp.bfloat16))
+            dv = dv + jax.lax.dot_general(
+                pc, doc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                doc, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [C, N]
+            ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                  ) * scale
+            dsc = ds.astype(jnp.bfloat16)
+            dq_chunks.append(
+                jnp.dot(dsc, k, preferred_element_type=jnp.float32))
+            dk = dk + jax.lax.dot_general(
+                dsc, qc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dq = (dq_chunks[0] if len(dq_chunks) == 1
+              else jnp.concatenate(dq_chunks, axis=0))
+        o_h = (o_chunks[0] if len(o_chunks) == 1
+               else jnp.concatenate(o_chunks, axis=0))
+        # fold this head's pieces straight into the output refs / dh —
+        # no [N, 3D] scratch, no attention concat
+        o_sl = slice(hi * hd, (hi + 1) * hd)
+        dwp = jax.lax.dot_general(o_h, gc, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        for piece, off in ((dq, hi * hd), (dk, d + hi * hd),
+                           (dv, 2 * d + hi * hd)):
+            pc16 = piece.astype(jnp.bfloat16)
+            dw = jax.lax.dot_general(h, pc16, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            db = jnp.sum(piece, axis=0, keepdims=True)
+            sl = slice(off, off + hd)
+
+            @pl.when(first)
+            def _(dw=dw, db=db, sl=sl):
+                dwqkv_ref[:, sl] = dw
+                dbqkv_ref[:, sl] = db
+
+            @pl.when(jnp.logical_not(first))
+            def _(dw=dw, db=db, sl=sl):
+                dwqkv_ref[:, sl] += dw
+                dbqkv_ref[:, sl] += db
+
+            wpiece = wqkv[:, sl]                           # [D, hd]
+            dh = dh + jax.lax.dot_general(
+                pc16, wpiece, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(first)
+        def _(dwp=dwp, o_sl=o_sl):
+            dwproj_ref[o_sl, :] = dwp
+
+        @pl.when(jnp.logical_not(first))
+        def _(dwp=dwp, o_sl=o_sl):
+            dwproj_ref[o_sl, :] += dwp
+
+    dbproj = jnp.sum(g, axis=0, keepdims=True)
+
+    # LayerNorm backward (+ residual)
+    dls = jnp.sum(dh * xhat, axis=0, keepdims=True)
+    dlb = jnp.sum(dh, axis=0, keepdims=True)
+    dxhat = dh * s_ln
+    dx = g + inv * (dxhat - jnp.mean(dxhat, axis=-1, keepdims=True)
+                    - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(first)
+    def _init():
+        dls_ref[:] = dls
+        dlb_ref[:] = dlb
+        dbproj_ref[:] = dbproj
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        dls_ref[:] += dls
+        dlb_ref[:] += dlb
+        dbproj_ref[:] += dbproj
+
+
+def _bwd_pallas(x, g, weights, n_heads, n_real, eps, scale,
+                interpret=False):
+    b, n, d = x.shape
+    weights = [w.astype(jnp.bfloat16) for w in weights]
+    ln_s, ln_b, wqkv, bqkv, wproj, _bproj = weights
+    rep = lambda w: pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim,
+                                 memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    img = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_heads=n_heads, n_real=n_real,
+                          eps=eps, scale=scale),
+        grid=(b,),
+        in_specs=[img, img, rep(ln_s), rep(ln_b), rep(wqkv), rep(bqkv),
+                  rep(wproj)],
+        out_specs=[img, acc((1, d)), acc((1, d)), acc((d, 3 * d)),
+                   acc((1, 3 * d)), acc((d, d)), acc((1, d))],
+        out_shape=[jax.ShapeDtypeStruct((b, n, d), x.dtype),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((d, 3 * d), f32),
+                   jax.ShapeDtypeStruct((1, 3 * d), f32),
+                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * (2 * b * n * d * 4 * d + 4 * b * n * n * d),
+            bytes_accessed=4 * b * n * d * 2,
+            transcendentals=b * n * n),
+        interpret=interpret,
+    )(x, g, ln_s, ln_b, wqkv, bqkv, wproj)
+    return outs            # dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj
+
+
+# ---------------------------------------------------------------------------
+# XLA twin (fallback forward + off-TPU backward; identical math)
+# ---------------------------------------------------------------------------
+
+def _ln_f32(x, s, b, eps):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * s + b
+
+
+def _reference_forward(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, n_heads,
+                       eps, n_real=None):
+    """XLA twin of the kernel.  Matmul inputs follow ``x.dtype`` (bf16 in
+    the train path => same precision as the kernel; f32 on CPU parity
+    paths => exact unfused math), always with f32 accumulation."""
+    b, n, d = x.shape
+    hd = d // n_heads
+    scale = hd ** -0.5
+    cast = x.dtype
+    xf = x.astype(jnp.float32)
+    h = _ln_f32(xf, ln_s[0].astype(jnp.float32),
+                ln_b[0].astype(jnp.float32), eps).astype(cast)
+    qkv = jnp.dot(h, wqkv.astype(cast), preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv[0].astype(jnp.float32)).astype(cast)
+    qkv = qkv.reshape(b, n, 3, n_heads, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]                       # [B, H, N, hd]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if n_real is not None and n_real < n:
+        col = jnp.arange(n)
+        s = jnp.where(col[None, None, None, :] < n_real, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(cast), v,
+                   preferred_element_type=jnp.float32).astype(cast)
+    attn = o.transpose(0, 2, 1, 3).reshape(b, n, d)
+    y = jnp.dot(attn, wproj.astype(cast),
+                preferred_element_type=jnp.float32)
+    return (xf + y + bproj[0].astype(jnp.float32)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP core + public entry
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _core(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, n_heads, eps, n_real):
+    if _available():
+        scale = (x.shape[-1] // n_heads) ** -0.5
+        return _fwd_pallas(x, (ln_s, ln_b, wqkv, bqkv, wproj, bproj),
+                           n_heads, n_real, eps, scale)
+    return _reference_forward(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                              n_heads, eps, n_real=n_real)
+
+
+def _core_fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, n_heads, eps,
+              n_real):
+    out = _core(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, n_heads, eps,
+                n_real)
+    return out, (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)
+
+
+def _core_bwd(n_heads, eps, n_real, res, g):
+    x, ln_s, ln_b, wqkv, bqkv, wproj, bproj = res
+    if _available():
+        scale = (x.shape[-1] // n_heads) ** -0.5
+        dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = _bwd_pallas(
+            x, g.astype(x.dtype), (ln_s, ln_b, wqkv, bqkv, wproj, bproj),
+            n_heads, n_real, eps, scale)
+        return (dx.astype(x.dtype), dls.astype(ln_s.dtype),
+                dlb.astype(ln_b.dtype), dwqkv.astype(wqkv.dtype),
+                dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
+                dbproj.astype(bproj.dtype))
+    # off-TPU: differentiate the XLA twin
+    _, vjp = jax.vjp(
+        lambda x_, a, b, c, d_, e, f: _reference_forward(
+            x_, a, b, c, d_, e, f, n_heads, eps, n_real=n_real),
+        x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)
+    return vjp(g.astype(x.dtype))
+
+
+_core.defvjp(_core_fwd, _core_bwd)
+
+
+def _prep_weights(attn_p: dict, ln_p: dict):
+    """Row-reshape biases/LN params; dtypes are preserved here (the Pallas
+    wrappers cast the matmul weights to bf16 inside the custom-VJP core,
+    so f32 CPU-parity callers keep exact f32 math in the twin)."""
+    row = lambda a: a.reshape(1, -1)
+    return (row(ln_p["scale"]), row(ln_p["bias"]),
+            attn_p["qkv"]["w"], row(attn_p["qkv"]["b"]),
+            attn_p["proj"]["w"], row(attn_p["proj"]["b"]))
+
+
+def fused_ln_attn(x: jax.Array, attn_params: dict, ln_params: dict,
+                  n_heads: int, eps: float = 1e-6) -> jax.Array:
+    """``x + proj(MHSA(LN(x)))`` with Pallas forward AND backward.
+
+    :param x: [B, N, D] tokens.
+    :param attn_params: {"qkv": {w, b}, "proj": {w, b}} ((in, out) layout).
+    :param ln_params: {"scale", "bias"}.
+
+    Tokens are padded to a 128 multiple internally; padded keys are masked
+    and padded rows carry zero gradient.  Falls back to the identical-math
+    XLA twin off-TPU or beyond the VMEM caps (N_pad > 1536 or D > 768).
+    """
+    b, n, d = x.shape
+    n_pad = _ceil_to(n, 128)
+    weights = _prep_weights(attn_params, ln_params)
+    if not (_available() and n_pad <= _MAX_N and d <= _MAX_D):
+        return _core(x, *weights, n_heads, eps, n)
+    xp = x
+    if n_pad != n:
+        xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+    out = _core(xp, *weights, n_heads, eps, n)
+    return out[:, :n] if n_pad != n else out
+
+
+def _available() -> bool:
+    if not _HAS_PLTPU:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+fused_attn_available = _available
