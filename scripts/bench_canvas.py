@@ -66,11 +66,11 @@ def main():
     grid = jnp.asarray(np.stack([-(-hs // p), -(-ws // p)], 1), jnp.int32)
     sizes = jnp.asarray(np.stack([hs, ws], 1), jnp.int32)
 
-    out = step(params, image, gt, grid, sizes)        # compile
+    out, _vis = step(params, image, gt, grid, sizes)  # compile
     _ = float(jnp.sum(out["iou"]))
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = step(params, image, gt, grid, sizes)
+        out, _vis = step(params, image, gt, grid, sizes)
     _ = float(jnp.sum(out["iou"]))                    # sync via scalar
     dt = (time.perf_counter() - t0) / args.iters
     print(f"canvas={c} B={b} fused_mlp={int(args.fused_mlp)} "

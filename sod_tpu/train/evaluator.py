@@ -76,7 +76,8 @@ class Evaluator:
                  mcfg: Optional[MaskFormerConfig] = None,
                  dir_dataset: Optional[str] = None,
                  visualizer=None, debug: bool = False,
-                 batch_size: int = 16, mesh=None):
+                 batch_size: int = 16, mesh=None,
+                 vis_every: int = 250):
         """:param mesh: optional ``jax.sharding.Mesh`` — evaluation batches
         are sharded over its ``data`` axis (params replicated), the
         ICI-native replacement for the reference's dormant
@@ -89,6 +90,9 @@ class Evaluator:
         self.visualizer = visualizer
         self.debug = debug
         self.batch_size = batch_size
+        # every-N-batches visualization cadence (ref evaluator pyc 240-269
+        # renders grids every 250 batches)
+        self.vis_every = max(1, vis_every)
         self.mesh = mesh
         if mesh is not None:
             from sod_tpu.parallel import replicated
@@ -202,10 +206,36 @@ class Evaluator:
             obj = out["objectness"][:, -1, :, 0].astype(jnp.float32)
             metrics = eval_batch_metrics(masks, obj, gt, sizes,
                                          cost_type=cost_type)
-            return metrics
+            # small visualization payload: pre-upsample per-query masks as
+            # uint8 — only device_get on every-vis_every batches, so the
+            # (slow) tunnel transfer is paid rarely and the compiled
+            # program stays ONE program
+            vis_masks = (jnp.clip(out["mask_pred"][:, -1], 0.0, 1.0)
+                         * 255.0).astype(jnp.uint8)          # [B,Q,2G,2G]
+            return metrics, {"masks_u8": vis_masks, "objectness": obj}
 
         self._compiled[key] = step
         return step
+
+    # ------------------------------------------------------------------
+    def _visualize(self, dataset_name: str, bi: int, batch: dict,
+                   vis: dict) -> None:
+        """Render the first image of a visualization batch (ref evaluator
+        pyc 240-269: grids every 250 batches; the non-bc einsum argmax
+        composition is handled by ``Visualizer.eval_grid``)."""
+        masks_u8 = np.asarray(jax.device_get(vis["masks_u8"][0]))  # [Q,2G,2G]
+        obj = vis.get("objectness")
+        obj = None if obj is None else np.asarray(jax.device_get(obj[0]))
+        h, w = (int(v) for v in batch["hw"][0])
+        gh, gw = (int(v) for v in batch["grid_sizes"][0])
+        # crop the canvas to this image's valid region; masks live at the
+        # pre-upsample resolution (2 * grid)
+        image = batch["image"][0][:h, :w]
+        gt = batch["gt"][0][:h, :w]
+        preds = masks_u8[:, :2 * gh, :2 * gw].astype(np.float32) / 255.0
+        self.visualizer.eval_grid(
+            image, gt, preds, obj,
+            os.path.join(dataset_name, f"{bi:05d}.png"))
 
     # ------------------------------------------------------------------
     def __call__(self, dataset_name: str, dir_ckpt: Optional[str] = None,
@@ -264,7 +294,9 @@ class Evaluator:
                 arrays = tuple(jax.device_put(a, sh) for a in arrays)
             else:
                 arrays = tuple(jnp.asarray(a) for a in arrays)
-            out = step(self.params, *arrays)
+            out, vis = step(self.params, *arrays)
+            if self.visualizer is not None and bi % self.vis_every == 0:
+                self._visualize(dataset_name, bi, batch, vis)
             out = jax.device_get(out)
             for i in range(n):
                 for k in _METRICS:

@@ -16,8 +16,39 @@ from sod_tpu.data.augment import denormalize
 
 
 def _to_img(x: np.ndarray) -> np.ndarray:
-    """Normalized [H, W, 3] float -> uint8 RGB."""
-    return denormalize(np.asarray(x))
+    """Normalized [H, W, 3] float -> uint8 RGB (uint8 passes through —
+    the Evaluator feeds raw canvas crops)."""
+    x = np.asarray(x)
+    if x.dtype == np.uint8:
+        return x
+    return denormalize(x)
+
+
+# Fixed palette for the non-binary-classifier composition (any distinct
+# colors work; the reference uses matplotlib's default color cycling)
+_PALETTE = np.array(
+    [[31, 119, 180], [255, 127, 14], [44, 160, 44], [214, 39, 40],
+     [148, 103, 189], [140, 86, 75], [227, 119, 194], [127, 127, 127],
+     [188, 189, 34], [23, 190, 207]], np.float32) / 255.0
+
+
+def compose_argmax_map(pred_masks: np.ndarray,
+                       palette: Optional[np.ndarray] = None) -> np.ndarray:
+    """Non-binary-classifier eval visualization (ref evaluator pyc 240-269):
+    the per-pixel argmax over queries is one-hot-composed into a color map
+    via ``einsum("qhw,qc->chw")``.
+
+    :param pred_masks: [Q, H, W] mask activations.
+    :return: [H, W, 3] float RGB in [0, 1].
+    """
+    pred_masks = np.asarray(pred_masks)
+    q = pred_masks.shape[0]
+    if palette is None:
+        palette = _PALETTE[np.arange(q) % len(_PALETTE)]
+    seg = np.argmax(pred_masks, axis=0)                       # [H, W]
+    onehot = (seg[None] == np.arange(q)[:, None, None]).astype(np.float32)
+    chw = np.einsum("qhw,qc->chw", onehot, palette[:q].astype(np.float32))
+    return chw.transpose(1, 2, 0)
 
 
 class Visualizer:
@@ -29,12 +60,16 @@ class Visualizer:
 
     def grid(self, image: np.ndarray, gt_mask: Optional[np.ndarray],
              pred_masks: np.ndarray, selected: Optional[int],
-             objectness: Optional[np.ndarray], fp: str) -> str:
+             objectness: Optional[np.ndarray], fp: str,
+             composed: Optional[np.ndarray] = None) -> str:
         """One sample: image | GT | selected pred | all query masks.
 
         :param pred_masks: [Q, h, w] in [0, 1];
         :param selected: highlighted query index (red border, ref
-            ``utils/visualizer.py:60-75``).
+            ``utils/visualizer.py:60-75``);
+        :param composed: optional [h, w, 3] RGB panel shown in the
+            selected-pred slot — the non-binary-classifier einsum argmax
+            composition (ref evaluator pyc 240-269).
         """
         import matplotlib
 
@@ -55,7 +90,10 @@ class Visualizer:
         if gt_mask is not None:
             axes[0, 1].imshow(np.asarray(gt_mask), cmap="gray")
             axes[0, 1].set_title("GT", fontsize=8)
-        if selected is not None:
+        if composed is not None:
+            axes[0, 2].imshow(np.clip(np.asarray(composed), 0.0, 1.0))
+            axes[0, 2].set_title("argmax comp", fontsize=8)
+        elif selected is not None:
             axes[0, 2].imshow(np.asarray(pred_masks[selected]), cmap="gray")
             axes[0, 2].set_title(f"selected q{selected}", fontsize=8)
             for spine in axes[0, 2].spines.values():
@@ -91,6 +129,21 @@ class Visualizer:
         fig.savefig(out, dpi=80)
         plt.close(fig)
         return out
+
+    def eval_grid(self, image_u8: np.ndarray, gt_mask: Optional[np.ndarray],
+                  pred_masks: np.ndarray,
+                  objectness: Optional[np.ndarray], fp: str) -> str:
+        """Evaluator in-loop dump (ref evaluator pyc 240-269, rendered
+        every 250 batches).  Binary-classifier checkpoints: objectness-
+        ranked grid with the argmax-objectness query highlighted.  Non-bc
+        checkpoints (``objectness`` None): the per-pixel einsum argmax
+        composition replaces the selected-query panel."""
+        if objectness is not None:
+            sel = int(np.argmax(np.asarray(objectness)))
+            return self.grid(image_u8, gt_mask, pred_masks, sel,
+                             objectness, fp)
+        return self.grid(image_u8, gt_mask, pred_masks, None, None, fp,
+                         composed=compose_argmax_map(pred_masks))
 
     def __call__(self, epoch: int, it: int, batch: Dict, params=None,
                  outputs: Optional[Dict] = None) -> Optional[str]:
