@@ -22,7 +22,16 @@ def _checkpointer():
 def save_checkpoint(path: str, params: Any, opt_state: Any = None,
                     epoch: int = 0, n_iters: int = 0,
                     extra: Optional[Dict] = None) -> None:
-    """Write a full training checkpoint to ``path`` (a directory)."""
+    """Write a full training checkpoint to ``path`` (a directory).
+
+    Multi-host: only process 0 writes (params/opt state are replicated
+    under the data-parallel mesh, so its local copy is the full state;
+    every other process would race it on a shared filesystem).  The
+    reference has no multi-process story at all (SURVEY §2 parallelism
+    table) — this is the DCN-side discipline that replaces it.
+    """
+    if jax.process_index() != 0:
+        return
     path = os.path.abspath(path)
     payload = {
         "params": jax.device_get(params),
