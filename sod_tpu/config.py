@@ -97,6 +97,12 @@ class Config:
                                       # recompute VJP of the unfused block)
     mesh_data_axis: int = 1           # data-parallel mesh size (1 = single chip)
     max_gt_masks: int = 8             # static padding for ragged pseudo-mask stacks
+    micro_batch: bool = True          # serving: batch concurrent /predict
+                                      # requests into one device dispatch
+    micro_batch_buckets: Tuple[int, ...] = (1, 8)  # compiled batch sizes
+    micro_batch_wait_ms: float = 3.0  # max co-arrival wait per batch
+    train_ship_uint8: bool = True     # loader ships augmented images as
+                                      # uint8; normalization runs on device
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -93,6 +93,14 @@ class DUTSDataset(BaseDataset):
         }
         if self.return_raw and self.mode != "train":
             out["image_u8"] = np.asarray(arr, np.uint8)
+        elif self.mode == "train" and getattr(self, "train_u8", False):
+            # quantize the augmented image to uint8 (the reference's
+            # torchvision photometric ops operate on uint8 PIL images,
+            # base_dataset.py:94-102, so this is closer to its pipeline
+            # than the float chain) and normalize ON DEVICE — 4x less
+            # host->device traffic and one less host pass per sample
+            out["image_u8"] = np.clip(np.round(np.asarray(arr, np.float32)),
+                                      0, 255).astype(np.uint8)
         else:
             out["image"] = normalize(arr)
         return out

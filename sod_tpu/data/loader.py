@@ -37,19 +37,25 @@ def stable_label(filename: str, mod: int = 10000) -> int:
 
 def collate_train(samples: List[dict], max_gt_masks: int,
                   batch_size: Optional[int] = None) -> dict:
-    """Pad a list of samples into one fixed-shape batch dict."""
+    """Pad a list of samples into one fixed-shape batch dict.
+
+    Samples carrying ``image_u8`` (dataset ``train_u8`` mode) collate to a
+    uint8 batch under the same ``"image"`` key — the train step normalizes
+    on device, quartering host->device traffic."""
     n = len(samples)
     batch_size = batch_size or n
-    h, w = samples[0]["image"].shape[:2]
+    u8 = "image_u8" in samples[0]
+    key = "image_u8" if u8 else "image"
+    h, w = samples[0][key].shape[:2]
 
-    images = np.zeros((batch_size, h, w, 3), np.float32)
+    images = np.zeros((batch_size, h, w, 3), np.uint8 if u8 else np.float32)
     gt = np.zeros((batch_size, max_gt_masks, h, w), np.float32)
     valid = np.zeros((batch_size, max_gt_masks), bool)
     labels = np.zeros((batch_size,), np.int32)
     filenames: List[str] = []
 
     for i, s in enumerate(samples):
-        images[i] = s["image"]
+        images[i] = s[key]
         masks = s["masks"]
         # drop empty mask rows (ref base_dataset.py:134-135 + duts collate)
         keep = masks.reshape(masks.shape[0], -1).sum(-1) > 0
@@ -73,11 +79,18 @@ class DataLoader:
                  collate_fn: Optional[Callable[[List[dict]], dict]] = None,
                  drop_last: bool = False, seed: int = 0,
                  prefetch_batches: int = 2,
-                 shard_by_process: bool = False):
+                 shard_by_process: bool = False,
+                 use_processes: bool = False):
         """:param shard_by_process: under multi-host JAX, each process
         iterates a disjoint index shard (``jax.process_index()`` of
         ``jax.process_count()``) — the DCN-side analogue of the
-        reference's dormant DistributedSampler (SURVEY §5)."""
+        reference's dormant DistributedSampler (SURVEY §5).
+        :param use_processes: decode/augment in forked worker PROCESSES
+        instead of threads — the photometric augmentations are NumPy
+        (GIL-holding), so thread workers stop scaling past ~2x; process
+        workers scale with host cores (the torch-DataLoader-worker
+        equivalent, trainer pyc 76-82 num_workers=4).  The dataset must
+        be picklable."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -87,6 +100,7 @@ class DataLoader:
         self.seed = seed
         self.prefetch_batches = prefetch_batches
         self.shard_by_process = shard_by_process
+        self.use_processes = use_processes
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -135,14 +149,30 @@ class DataLoader:
                     continue
             return False
 
+        def make_pool():
+            if self.use_processes:
+                import multiprocessing as mp
+                from concurrent.futures import ProcessPoolExecutor
+
+                # fork: workers inherit the (picklable-anyway) dataset
+                # without re-import; they only run NumPy/PIL, never JAX
+                return ProcessPoolExecutor(
+                    self.num_workers, mp_context=mp.get_context("fork"))
+            return ThreadPoolExecutor(self.num_workers)
+
+        def fetch(pool, idxs):
+            if self.use_processes:
+                return pool.map(_getitem, ((self.dataset, int(i))
+                                           for i in idxs))
+            return pool.map(self.dataset.__getitem__, idxs)
+
         def produce():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                with make_pool() as pool:
                     for idxs in batches:
                         if stop.is_set():
                             return
-                        samples = list(pool.map(self.dataset.__getitem__,
-                                                idxs))
+                        samples = list(fetch(pool, idxs))
                         if not put(self.collate_fn(samples)):
                             return
             except BaseException as e:  # noqa: BLE001
@@ -165,6 +195,12 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+
+def _getitem(args):
+    """Module-level picklable fetch for process workers."""
+    dataset, i = args
+    return dataset[i]
 
 
 _END = object()

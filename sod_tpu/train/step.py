@@ -46,7 +46,16 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     def loss_fn(params, batch):
-        x = batch["image"].astype(compute_dtype)
+        x = batch["image"]
+        if x.dtype == jnp.uint8:
+            # uint8-shipped batch (loader ``train_u8`` mode): ImageNet
+            # normalization happens HERE on device — identical math to
+            # the host ``augment.normalize``, 4x less transfer
+            from sod_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+
+            x = ((x.astype(jnp.float32) / 255.0
+                  - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD))
+        x = x.astype(compute_dtype)
         out = maskformer_apply(params, x, mcfg, train=True)
         # resnet encoder: EMA-updated BatchNorm buffers to merge back into
         # params after the optimizer step (ViT path: empty)

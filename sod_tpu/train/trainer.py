@@ -59,6 +59,10 @@ class Trainer:
             pseudo_masks_fp=cfg.pseudo_masks_fp,
             use_copy_paste=cfg.use_copy_paste,
         )
+        # ship augmented images as uint8 and normalize on device (4x less
+        # host->device traffic; matches the reference's uint8 PIL pipeline
+        # more closely than the float chain — see duts.py)
+        self.dataset.train_u8 = getattr(cfg, "train_ship_uint8", True)
 
         if params is None:
             params = maskformer_init(jax.random.key(cfg.seed), self.mcfg)
