@@ -101,6 +101,88 @@ def test_inference_jet_colormap():
     assert rgb[0, -1, 0] > rgb[0, -1, 2]   # high values red-ish
 
 
+# --------------------------- micro-batching ---------------------------------
+
+def test_micro_batcher_coalesces_and_is_correct():
+    """Concurrent predicts return per-image-correct results AND coalesce
+    into fewer device dispatches (VERDICT r2 item 6)."""
+    import threading
+
+    svc = _tiny_inference()
+    from sod_tpu.serving.inference import MicroBatcher
+
+    calls = []
+    orig_forward = svc._forward
+
+    def counting_forward(params, x):
+        calls.append(int(x.shape[0]))
+        return orig_forward(params, x)
+
+    svc._forward = counting_forward
+    svc._batcher = MicroBatcher(svc, buckets=(1, 4, 8), max_wait_ms=30.0)
+    try:
+        # distinct images -> results must not get crossed between callers
+        pngs, singles = [], []
+        for i in range(8):
+            img = np.full((40, 48, 3), 20 + 10 * i, np.uint8)
+            img[5 + i:25 + i, 8:40] = 220
+            pngs.append(img)
+        # ground truth via direct single dispatch (no batcher)
+        import jax.numpy as jnp
+
+        from sod_tpu.data.augment import normalize, resize_pil
+
+        for img in pngs:
+            arr = normalize(np.asarray(resize_pil(
+                Image.fromarray(img), (32, 32), "bilinear"), np.float32))
+            m, o = orig_forward(svc.params, jnp.asarray(arr)[None])
+            singles.append((np.asarray(m)[0], np.asarray(o)[0]))
+        calls.clear()
+
+        results = [None] * 8
+
+        def worker(i):
+            buf = io.BytesIO()
+            Image.fromarray(pngs[i]).save(buf, format="PNG")
+            results[i] = svc.predict(buf.getvalue())
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(8)]
+        barrier_start = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        del barrier_start
+        assert all(r is not None for r in results)
+        # fewer dispatches than requests => real batching happened
+        assert len(calls) < 8, calls
+        assert sum(calls) >= 8
+        # per-image objectness matches the single-dispatch ground truth
+        for i, r in enumerate(results):
+            np.testing.assert_allclose(
+                r["objectness_scores"], singles[i][1], atol=1e-5,
+                err_msg=f"request {i} got another caller's result")
+    finally:
+        svc._batcher.close()
+
+
+def test_micro_batcher_error_propagates():
+    svc = _tiny_inference()
+    from sod_tpu.serving.inference import MicroBatcher
+
+    def boom(params, x):
+        raise RuntimeError("device on fire")
+
+    svc._forward = boom
+    svc._batcher = MicroBatcher(svc, buckets=(1,), max_wait_ms=1.0)
+    try:
+        with pytest.raises(RuntimeError, match="device on fire"):
+            svc._batcher.submit(np.zeros((32, 32, 3), np.float32))
+    finally:
+        svc._batcher.close()
+
+
 # --------------------------- token / payment edges --------------------------
 
 def test_signup_token_expiry(monkeypatch):
