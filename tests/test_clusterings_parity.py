@@ -1,0 +1,101 @@
+"""Clusterings validation on REALISTIC affinity matrices (VERDICT r2
+weak item 6): the dense-eigh spectral path against a scipy dense
+eigendecomposition, plus cross-run determinism.
+
+"Realistic" = patch-feature-like node sets: spatially smooth features with
+latent segments and noise, at the real ViT-S/8 node count (784), not the
+synthetic well-separated blobs of test_mask_generator."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+scipy_linalg = pytest.importorskip("scipy.linalg")
+
+from sod_tpu.data.clusterings import kmeans, spectral_cluster  # noqa: E402
+
+
+def realistic_features(seed: int, grid: int = 28, d: int = 64,
+                       n_segments: int = 3) -> np.ndarray:
+    """[grid*grid, d] features shaped like layer-12 patch tokens: one
+    latent direction per segment + smooth spatial drift + noise."""
+    r = np.random.RandomState(seed)
+    yy, xx = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
+    # segments = irregular blobs (nearest of n_segments random centers)
+    cy = r.randint(0, grid, n_segments)
+    cx = r.randint(0, grid, n_segments)
+    dist = (yy[..., None] - cy) ** 2 + (xx[..., None] - cx) ** 2
+    seg = np.argmin(dist, axis=-1)                      # [g, g]
+    protos = r.randn(n_segments, d) * 2.0
+    feats = protos[seg]                                 # [g, g, d]
+    # smooth spatial drift (low-frequency) + per-node noise
+    drift = np.sin(yy / grid * 3.1)[..., None] * r.randn(d) * 0.5
+    feats = feats + drift + r.randn(grid, grid, d) * 0.4
+    return feats.reshape(-1, d).astype(np.float32), seg.reshape(-1)
+
+
+def _lsym(features: np.ndarray) -> np.ndarray:
+    """The exact L_sym spectral_cluster builds (clusterings.py:77-87)."""
+    f = features / np.maximum(
+        np.linalg.norm(features, axis=-1, keepdims=True), 1e-12)
+    a = np.maximum(f @ f.T, 0.0)
+    n = a.shape[0]
+    a = a * (1.0 - np.eye(n)) + np.eye(n)
+    d_inv_sqrt = 1.0 / np.sqrt(np.maximum(a.sum(-1), 1e-12))
+    return np.eye(n) - d_inv_sqrt[:, None] * a * d_inv_sqrt[None, :]
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_eigh_matches_scipy_on_realistic_affinity(seed):
+    feats, _ = realistic_features(seed)
+    lsym = _lsym(feats)
+
+    w_ref, v_ref = scipy_linalg.eigh(lsym.astype(np.float64))
+    w_jax, v_jax = jnp.linalg.eigh(jnp.asarray(lsym))
+
+    # eigenvalues agree to f32 tolerance across the whole spectrum
+    np.testing.assert_allclose(np.asarray(w_jax), w_ref, atol=2e-4)
+
+    # the spectral embedding SUBSPACE agrees: compare projectors (signs
+    # and rotations within eigenspaces are arbitrary)
+    for k in (2, 3, 4):
+        p_ref = v_ref[:, :k] @ v_ref[:, :k].T
+        vk = np.asarray(v_jax[:, :k])
+        p_jax = vk @ vk.T
+        gap = w_ref[k] - w_ref[k - 1]
+        if gap < 1e-3:
+            continue    # degenerate crossing: projector comparison ill-posed
+        assert np.abs(p_jax - p_ref).max() < 1e-2, f"k={k} gap={gap}"
+
+
+def test_spectral_recovers_realistic_segments():
+    """On realistic (noisy, drifting) features the spectral labels still
+    align with the latent segments (majority-vote accuracy)."""
+    feats, seg = realistic_features(3, n_segments=3)
+    labels = np.asarray(spectral_cluster(jnp.asarray(feats), 3, seed=0))
+    # map each predicted cluster to its majority latent segment
+    acc = 0
+    for c in range(3):
+        m = labels == c
+        if m.sum() == 0:
+            continue
+        acc += np.bincount(seg[m], minlength=3).max()
+    assert acc / len(seg) > 0.85
+
+
+def test_spectral_deterministic_across_runs_and_jit():
+    feats, _ = realistic_features(11)
+    f = jnp.asarray(feats)
+    a = np.asarray(spectral_cluster(f, 3, seed=0))
+    b = np.asarray(spectral_cluster(f, 3, seed=0))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(jax.jit(lambda x: spectral_cluster(x, 3, seed=0))(f))
+    np.testing.assert_array_equal(a, c)
+
+
+def test_kmeans_deterministic():
+    feats, _ = realistic_features(13)
+    f = jnp.asarray(feats)
+    a = np.asarray(kmeans(f, 4, seed=5))
+    b = np.asarray(kmeans(f, 4, seed=5))
+    np.testing.assert_array_equal(a, b)
