@@ -13,7 +13,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(batch: int, iters: int = 20) -> float:
+def measure(batch: int, iters: int = 20, arch: str = "vit_small") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -26,6 +26,14 @@ def measure(batch: int, iters: int = 20) -> float:
 
     cfg = Config()
     mcfg = config_from(cfg)
+    if arch == "vit_base":
+        # d=768 constructor (ref vision_transformer.py:524-532) — takes the
+        # gridded fused pipeline (the whole-block kernel is ViT-S-only)
+        import dataclasses
+
+        from sod_tpu.models.vit import vit_base
+
+        mcfg = dataclasses.replace(mcfg, vit=vit_base(patch_size=16))
     params = maskformer_init(jax.random.key(0), mcfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
                           if x.dtype == jnp.float32 else x, params)
@@ -56,15 +64,19 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+",
                     default=[16, 32, 48, 64, 96])
     ap.add_argument("--one", type=int, default=None)
+    ap.add_argument("--arch", default="vit_small",
+                    choices=["vit_small", "vit_base"])
     args = ap.parse_args()
 
     if args.one is not None:
-        ips = measure(args.one)
-        print(f"B={args.one:3d}  {ips:8.1f} img/s", flush=True)
+        ips = measure(args.one, arch=args.arch)
+        print(f"B={args.one:3d} arch={args.arch}  {ips:8.1f} img/s",
+              flush=True)
         return
     for b in args.batches:
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", str(b)],
+            [sys.executable, os.path.abspath(__file__), "--one", str(b),
+             "--arch", args.arch],
             capture_output=True, text=True)
         out = [ln for ln in r.stdout.splitlines() if "img/s" in ln]
         print(out[-1] if out else

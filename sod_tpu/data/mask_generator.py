@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sod_tpu.data.clusterings import kmeans, spectral_cluster
+from sod_tpu.data.clusterings import kmeans, spectral_cluster_multi
 from sod_tpu.data.custom import CustomDataset
 from sod_tpu.data.loader import DataLoader
 from sod_tpu.ops import rle as rle_codec
@@ -136,21 +136,32 @@ class MaskGenerator:
         self._extractors[feature_type] = extract
         return extract
 
-    def _cluster_fn(self, k: int):
-        if k in self._cluster_fns:
-            return self._cluster_fns[k]
-        cluster = (spectral_cluster if self.cluster_type == "spectral"
-                   else kmeans)
+    def _cluster_all_fn(self):
+        """ONE jitted program returning labels for EVERY cluster size —
+        the spectral path shares a single eigendecomposition across k in
+        {2, 3, 4} (round 2 solved it per k: 3x redundant eigensolves)."""
+        key = ("all", tuple(self.cluster_sizes))
+        if key in self._cluster_fns:
+            return self._cluster_fns[key]
+        ks = tuple(self.cluster_sizes)
         seed = self.seed
+        spectral = self.cluster_type == "spectral"
 
         @jax.jit
         def run(feats):                      # [B, G, G, D]
             b, gh, gw, d = feats.shape
             flat = feats.reshape(b, gh * gw, d)
-            labels = jax.vmap(lambda f: cluster(f, k, seed=seed))(flat)
-            return labels.reshape(b, gh, gw)
+            if spectral:
+                labels = jax.vmap(
+                    lambda f: spectral_cluster_multi(f, ks, seed=seed))(flat)
+            else:
+                labels = tuple(
+                    jax.vmap(lambda f, k=k: kmeans(f, k, seed=seed))(flat)
+                    for k in ks)
+            return {k: lab.reshape(b, gh, gw)
+                    for k, lab in zip(ks, labels)}
 
-        self._cluster_fns[k] = run
+        self._cluster_fns[key] = run
         return run
 
     # ------------------------------------------------------------------
@@ -164,11 +175,13 @@ class MaskGenerator:
                                square=True)
             loader = DataLoader(ds, batch_size=self.batch_size,
                                 shuffle=False, num_workers=4)
+            cluster_all = self._cluster_all_fn()
             for samples in loader:
                 x = np.stack([s["image"] for s in samples])
                 feats = extract(params, jnp.asarray(x))
+                all_labels = cluster_all(feats)      # {k: [B, G, G]}
                 for k in self.cluster_sizes:
-                    labels = np.asarray(self._cluster_fn(k)(feats))  # [B,G,G]
+                    labels = np.asarray(all_labels[k])
                     up = np.asarray(interpolate_nearest(
                         jnp.asarray(labels[:, None].astype(np.float32)),
                         self.image_size, self.image_size))[:, 0]

@@ -121,10 +121,11 @@ def _fwd_pallas(x, weights, n_heads, n_real, eps, scale,
 # ---------------------------------------------------------------------------
 
 #: q-row chunk for the backward's score slabs — bounds the transient
-#: [CHUNK, N] f32 buffers so the whole kernel stays under XLA's ~20.6 MB
-#: scoped-VMEM budget (a monolithic [N, N] version measured 21.6 MB and
-#: failed to schedule inside the full train step)
-_BWD_CHUNK = 512
+#: [CHUNK, N] f32 buffers so the whole kernel stays under XLA's scoped-VMEM
+#: budget (a monolithic [N, N] version measured 21.6 MB and failed at the
+#: 20.59 MB budget of the B=32 step; 512-chunking measured 17.0 MB and
+#: failed at the 16.00 MB budget of the B>=64 step; 256 fits everywhere)
+_BWD_CHUNK = 256
 
 
 def _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
@@ -189,8 +190,12 @@ def _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
             ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
                   ) * scale
             dsc = ds.astype(jnp.bfloat16)
+            # bf16: dq only feeds bf16 matmuls downstream; halving it
+            # keeps the kernel under the 16.00 MB scoped budget of the
+            # B>=64 step (measured 16.12 MB with f32 chunks)
             dq_chunks.append(
-                jnp.dot(dsc, k, preferred_element_type=jnp.float32))
+                jnp.dot(dsc, k, preferred_element_type=jnp.float32)
+                .astype(jnp.bfloat16))
             dk = dk + jax.lax.dot_general(
                 dsc, qc, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -205,10 +210,11 @@ def _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
                                   preferred_element_type=jnp.float32)
         for piece, off in ((dq, hi * hd), (dk, d + hi * hd),
                            (dv, 2 * d + hi * hd)):
-            pc16 = piece.astype(jnp.bfloat16)
+            pc16 = piece.astype(jnp.bfloat16) if piece.dtype != jnp.bfloat16 else piece
             dw = jax.lax.dot_general(h, pc16, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            db = jnp.sum(piece, axis=0, keepdims=True)
+            db = jnp.sum(piece.astype(jnp.float32), axis=0,
+                         keepdims=True)
             sl = slice(off, off + hd)
 
             @pl.when(first)
@@ -296,6 +302,168 @@ def _bwd_pallas(x, g, weights, n_heads, n_real, eps, scale,
 
 
 # ---------------------------------------------------------------------------
+# Large-N / any-d forward: a REAL grid instead of unrolled chunks
+# (VERDICT r2 item 2 — the whole-block kernel's Python-unrolled chunk x head
+# segments blew Mosaic compile past 25 min at canvas scale and its VMEM
+# footprint locked out d=768).  Two gridded kernels:
+#   1. LN + QKV projection — row-parallel, any token count;
+#   2. attention + output projection + residual — grid (B, q-chunks); the
+#      [N, 3D] qkv slab stays VMEM-resident across a batch row's chunk
+#      iterations (constant index map), each program computes one q-chunk
+#      for all heads.
+# Compile time is bounded (ONE chunk body, heads unrolled once) at any N,
+# and per-program VMEM stays ~12 MB at 400 px canvas scale.
+# ---------------------------------------------------------------------------
+
+_LARGE_CHUNK = 256
+
+
+def _ln_qkv_kernel(x_ref, ln_s, ln_b, wqkv, bqkv, o_ref, *, eps: float):
+    x = x_ref[0].astype(jnp.float32)                       # [C, D]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    h = ((x - mean) * jax.lax.rsqrt(var + eps)
+         * ln_s[0].astype(jnp.float32)
+         + ln_b[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    qkv = jnp.dot(h, wqkv[:], preferred_element_type=jnp.float32)
+    o_ref[0] = (qkv + bqkv[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _attn_proj_kernel(x_ref, qkv_ref, wproj, bproj, o_ref, *,
+                      n_heads: int, n_real: int, scale: float,
+                      mask_ref=None):
+    xc = x_ref[0].astype(jnp.float32)                      # [C, D]
+    qkv = qkv_ref[0]                                       # [N, 3D] bf16
+    n, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // n_heads
+    c = xc.shape[0]
+    j = pl.program_id(1)
+    q0 = j * c
+
+    key_row = (jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) < n_real)
+    if mask_ref is not None:
+        key_row = key_row & (mask_ref[0, 0][None, :] > 0)
+    heads = []
+    for hi in range(n_heads):                              # static unroll
+        q = jax.lax.dynamic_slice(qkv, (q0, hi * hd), (c, hd))
+        k = qkv[:, d + hi * hd:d + (hi + 1) * hd]
+        v = qkv[:, 2 * d + hi * hd:2 * d + (hi + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(key_row, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        heads.append(jnp.dot(p.astype(jnp.bfloat16), v,
+                             preferred_element_type=jnp.float32)
+                     .astype(jnp.bfloat16))
+    attn = jnp.concatenate(heads, axis=1)                  # [C, D]
+    y = jnp.dot(attn, wproj[:], preferred_element_type=jnp.float32)
+    o_ref[0] = (xc + y + bproj[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _fwd_pallas_large(x, weights, n_heads, n_real, eps, scale,
+                      key_mask=None, interpret=False):
+    """x: [B, N_pad, D] with N_pad a multiple of ``_LARGE_CHUNK``."""
+    b, n, d = x.shape
+    ln_s, ln_b, wqkv, bqkv, wproj, bproj = [
+        w.astype(jnp.bfloat16) for w in weights]
+    rep = lambda w: pl.BlockSpec(w.shape, lambda *a: (0,) * w.ndim,
+                                 memory_space=pltpu.VMEM)
+    c = _LARGE_CHUNK
+    rows2 = pl.BlockSpec((1, c, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    qkv = pl.pallas_call(
+        functools.partial(_ln_qkv_kernel, eps=eps),
+        grid=(b, n // c),
+        in_specs=[rows2, rep(ln_s), rep(ln_b), rep(wqkv), rep(bqkv)],
+        out_specs=pl.BlockSpec((1, c, 3 * d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, 3 * d), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d * 3 * d,
+            bytes_accessed=b * n * d * 2 * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, ln_s, ln_b, wqkv, bqkv)
+
+    in_specs = [rows2,
+                pl.BlockSpec((1, n, 3 * d), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                rep(wproj), rep(bproj)]
+    args = [x, qkv, wproj, bproj]
+    if key_mask is not None:
+        mask = key_mask.astype(jnp.int32)[:, None, :]
+        in_specs.append(pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+        kernel = functools.partial(
+            _attn_proj_masked_kernel, n_heads=n_heads, n_real=n_real,
+            scale=scale)
+    else:
+        kernel = functools.partial(
+            _attn_proj_kernel, n_heads=n_heads, n_real=n_real, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n // c),
+        in_specs=in_specs,
+        out_specs=rows2,
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # chunk axis "arbitrary": the full-qkv block's index map is
+            # constant along it, so the slab stays resident per image
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * n * d + 2 * b * n * d * d,
+            bytes_accessed=b * n * 4 * d * 2,
+            transcendentals=b * n * n),
+        interpret=interpret,
+    )(*args)
+
+
+def _attn_proj_masked_kernel(x_ref, qkv_ref, wproj, bproj, mask_ref, o_ref,
+                             *, n_heads: int, n_real: int, scale: float):
+    _attn_proj_kernel(x_ref, qkv_ref, wproj, bproj, o_ref,
+                      n_heads=n_heads, n_real=n_real, scale=scale,
+                      mask_ref=mask_ref)
+
+
+def fused_ln_attn_infer(x: jax.Array, attn_params: dict, ln_params: dict,
+                        n_heads: int, eps: float = 1e-6,
+                        key_mask: Optional[jax.Array] = None,
+                        interpret: bool = False) -> jax.Array:
+    """Inference-only attention half at ANY token count / width: the
+    gridded large-N pipeline above (canvas-scale eval, ViT-B).  Not
+    differentiable — the train path uses :func:`fused_ln_attn`."""
+    b, n, d = x.shape
+    n_pad = _ceil_to(n, _LARGE_CHUNK)
+    weights = _prep_weights(attn_params, ln_params)
+    if not (_available() or interpret):
+        # exact-math unfused fallback (handles key_mask) off-TPU
+        from sod_tpu.ops.attention import self_attention_qkv
+        from sod_tpu.ops.layers import layer_norm
+
+        return x + self_attention_qkv(
+            attn_params, layer_norm(ln_params, x, eps), n_heads,
+            key_mask=key_mask)
+    xp = x
+    km = key_mask
+    if n_pad != n:
+        xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+        if km is not None:
+            km = jnp.pad(km, ((0, 0), (0, n_pad - n)))
+    scale = (d // n_heads) ** -0.5
+    out = _fwd_pallas_large(xp, weights, n_heads, n, eps, scale,
+                            key_mask=km, interpret=interpret)
+    return out[:, :n] if n_pad != n else out
+
+
+# ---------------------------------------------------------------------------
 # XLA twin (fallback forward + off-TPU backward; identical math)
 # ---------------------------------------------------------------------------
 
@@ -357,8 +525,10 @@ def _core_fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, n_heads, eps,
 
 
 def _core_bwd(n_heads, eps, n_real, res, g):
+    import os
+
     x, ln_s, ln_b, wqkv, bqkv, wproj, bproj = res
-    if _available():
+    if _available() and not os.environ.get("SOD_FUSED_ATTN_XLA_BWD"):
         scale = (x.shape[-1] // n_heads) ** -0.5
         dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = _bwd_pallas(
             x, g.astype(x.dtype), (ln_s, ln_b, wqkv, bqkv, wproj, bproj),

@@ -93,6 +93,50 @@ def test_spectral_deterministic_across_runs_and_jit():
     np.testing.assert_array_equal(a, c)
 
 
+def _label_agreement(a, b, k):
+    """Best-permutation agreement rate between two labelings."""
+    import itertools
+
+    best = 0.0
+    for perm in itertools.permutations(range(k)):
+        mapped = np.asarray([perm[x] for x in np.asarray(a)])
+        best = max(best, float((mapped == np.asarray(b)).mean()))
+    return best
+
+
+def test_subspace_iteration_matches_dense_eigh_labels(monkeypatch):
+    """Beyond _EIGH_MAX_N nodes the embedding comes from orthogonal
+    subspace iteration + Rayleigh-Ritz; its labels must agree with the
+    dense-eigh path on realistic features (the pseudo-mask pipeline's
+    3136-node ResNet grids take this path)."""
+    import sod_tpu.data.clusterings as cl
+
+    feats, _ = realistic_features(21, grid=36, n_segments=3)   # 1296 nodes
+    f = jnp.asarray(feats)
+
+    monkeypatch.setattr(cl, "_EIGH_MAX_N", 4096)
+    dense = np.asarray(cl.spectral_cluster(f, 3, seed=0))
+    monkeypatch.setattr(cl, "_EIGH_MAX_N", 16)
+    sub = np.asarray(cl.spectral_cluster(f, 3, seed=0))
+    assert _label_agreement(dense, sub, 3) > 0.97
+
+    # determinism of the iterative path
+    sub2 = np.asarray(cl.spectral_cluster(f, 3, seed=0))
+    np.testing.assert_array_equal(sub, sub2)
+
+
+def test_spectral_cluster_multi_shares_basis():
+    """multi-k labels == per-k labels (same embedding, nested columns)."""
+    from sod_tpu.data.clusterings import spectral_cluster, spectral_cluster_multi
+
+    feats, _ = realistic_features(17)
+    f = jnp.asarray(feats)
+    multi = spectral_cluster_multi(f, (2, 3, 4), seed=0)
+    for k, lab in zip((2, 3, 4), multi):
+        single = spectral_cluster(f, k, seed=0)
+        np.testing.assert_array_equal(np.asarray(lab), np.asarray(single))
+
+
 def test_kmeans_deterministic():
     feats, _ = realistic_features(13)
     f = jnp.asarray(feats)
