@@ -329,24 +329,22 @@ def _ln_qkv_kernel(x_ref, ln_s, ln_b, wqkv, bqkv, o_ref, *, eps: float):
     o_ref[0] = (qkv + bqkv[0].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _attn_proj_kernel(x_ref, qkv_ref, wproj, bproj, o_ref, *,
+def _attn_proj_kernel(x_ref, qkvc_ref, qkv_ref, wproj, bproj, o_ref, *,
                       n_heads: int, n_real: int, scale: float,
                       mask_ref=None):
     xc = x_ref[0].astype(jnp.float32)                      # [C, D]
     qkv = qkv_ref[0]                                       # [N, 3D] bf16
-    n, d3 = qkv.shape
+    qkvc = qkvc_ref[0]                                     # [C, 3D] (this
+    n, d3 = qkv.shape                                      #  program's rows)
     d = d3 // 3
     hd = d // n_heads
-    c = xc.shape[0]
-    j = pl.program_id(1)
-    q0 = j * c
 
     key_row = (jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) < n_real)
     if mask_ref is not None:
         key_row = key_row & (mask_ref[0, 0][None, :] > 0)
     heads = []
     for hi in range(n_heads):                              # static unroll
-        q = jax.lax.dynamic_slice(qkv, (q0, hi * hd), (c, hd))
+        q = qkvc[:, hi * hd:(hi + 1) * hd]
         k = qkv[:, d + hi * hd:d + (hi + 1) * hd]
         v = qkv[:, 2 * d + hi * hd:2 * d + (hi + 1) * hd]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -392,10 +390,15 @@ def _fwd_pallas_large(x, weights, n_heads, n_real, eps, scale,
     )(x, ln_s, ln_b, wqkv, bqkv)
 
     in_specs = [rows2,
+                # the SAME qkv array twice: this program's q-rows as a
+                # chunked block (Mosaic lowers no dynamic_slice on
+                # values) + the full K/V slab, VMEM-resident per image
+                pl.BlockSpec((1, c, 3 * d), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n, 3 * d), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 rep(wproj), rep(bproj)]
-    args = [x, qkv, wproj, bproj]
+    args = [x, qkv, qkv, wproj, bproj]
     if key_mask is not None:
         mask = key_mask.astype(jnp.int32)[:, None, :]
         in_specs.append(pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
@@ -426,9 +429,10 @@ def _fwd_pallas_large(x, weights, n_heads, n_real, eps, scale,
     )(*args)
 
 
-def _attn_proj_masked_kernel(x_ref, qkv_ref, wproj, bproj, mask_ref, o_ref,
+def _attn_proj_masked_kernel(x_ref, qkvc_ref, qkv_ref, wproj, bproj,
+                             mask_ref, o_ref,
                              *, n_heads: int, n_real: int, scale: float):
-    _attn_proj_kernel(x_ref, qkv_ref, wproj, bproj, o_ref,
+    _attn_proj_kernel(x_ref, qkvc_ref, qkv_ref, wproj, bproj, o_ref,
                       n_heads=n_heads, n_real=n_real, scale=scale,
                       mask_ref=mask_ref)
 
