@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--canvas", type=int, default=400)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--fused-mlp", action="store_true")
+    ap.add_argument("--fused-eval", action="store_true",
+                    help="gridded fused pipeline (LN+QKV -> chunked "
+                         "attention+proj -> fused MLP kernels)")
     args = ap.parse_args()
 
     import tempfile
@@ -37,7 +40,8 @@ def main():
 
     from sod_tpu.train.evaluator import Evaluator
 
-    cfg = Config(use_fused_mlp=args.fused_mlp)
+    cfg = Config(use_fused_mlp=args.fused_mlp,
+                 use_fused_eval=args.fused_eval)
     mcfg = config_from(cfg)
     params = maskformer_init(jax.random.key(0), mcfg)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
@@ -74,6 +78,7 @@ def main():
     _ = float(jnp.sum(out["iou"]))                    # sync via scalar
     dt = (time.perf_counter() - t0) / args.iters
     print(f"canvas={c} B={b} fused_mlp={int(args.fused_mlp)} "
+          f"fused_eval={int(args.fused_eval)} "
           f"{dt * 1e3:8.2f} ms/batch  {b / dt:8.1f} img/s", flush=True)
 
 

@@ -103,6 +103,9 @@ class Config:
     micro_batch_wait_ms: float = 3.0  # max co-arrival wait per batch
     train_ship_uint8: bool = True     # loader ships augmented images as
                                       # uint8; normalization runs on device
+    use_fused_eval: bool = False      # canvas eval through the gridded
+                                      # fused pipeline (tanh-GELU; opt-in —
+                                      # default keeps bit-exact erf GELU)
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -286,11 +286,11 @@ def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
 
         b, n, d = tokens.shape
         n_pad = -(-n // 128) * 128
-        # the fused kernel is the fast path up to ~1k tokens (training-shape
-        # inference).  Its chunked large-N variant is correct (interpret
-        # tests) but Mosaic compile time blows up at canvas scale (>25 min
-        # for the 5x6 unrolled chunk/head segments), so larger inputs take
-        # the flash-attention path below.
+        # whole-block kernel: the fast path up to ~1k tokens at ViT-S width
+        # (one program per image, everything in VMEM).  Beyond it (canvas-
+        # scale eval, ViT-B) the GRIDDED pipeline below takes over —
+        # round 2's Python-unrolled chunk variant blew Mosaic compile past
+        # 25 min and is gone (VERDICT r2 item 2).
         # (dim guard: ViT-B weights alone (~14 MB bf16) would overflow
         # VMEM alongside activations — ViT-S/Ti only; dtype guard: the
         # kernel is bf16 — an fp32 compute_dtype request (parity
@@ -317,6 +317,29 @@ def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
             if all_layers:
                 return per_layer
             return layer_norm(params["norm"], final[:, :n], cfg.ln_eps)
+
+        if fused_available() and tokens.dtype == jnp.bfloat16:
+            # gridded large-N / any-d fused pipeline (canvas-scale eval,
+            # ViT-B): LN+QKV row kernel -> chunk-gridded attention+proj
+            # kernel -> fused MLP kernel; compile time bounded at any N
+            from sod_tpu.ops.fused_attn import fused_ln_attn_infer
+            from sod_tpu.ops.fused_mlp import fused_ln_mlp
+
+            def lbody(carry, bp):
+                x1 = fused_ln_attn_infer(carry, bp["attn"], bp["norm1"],
+                                         cfg.n_heads, eps=cfg.ln_eps,
+                                         key_mask=token_mask)
+                out = fused_ln_mlp(x1, bp["mlp"], bp["norm2"],
+                                   eps=cfg.ln_eps)
+                normed = (layer_norm(params["norm"], out, cfg.ln_eps)
+                          if all_layers else 0.0)
+                return out, normed
+
+            final, per_layer = jax.lax.scan(
+                lbody, tokens.astype(jnp.bfloat16), params["blocks"])
+            if all_layers:
+                return per_layer
+            return layer_norm(params["norm"], final, cfg.ln_eps)
 
     if cfg.fused_train and token_mask is None:
         # whole-block fused forward + kernel-recompute backward; saves

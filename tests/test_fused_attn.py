@@ -94,6 +94,59 @@ def test_bwd_kernel_interpret_matches_autodiff(rng):
                 atol=3e-2, rtol=3e-2, err_msg=f"{name} n={n_real}")
 
 
+def test_large_grid_pipeline_interpret_matches_unfused(rng):
+    """The gridded large-N pipeline (LN+QKV kernel -> chunk-gridded
+    attention+proj kernel) equals the unfused attention half at bf16
+    tolerance, across chunk boundaries and with a canvas key mask
+    (VERDICT r2 item 2)."""
+    from sod_tpu.ops.fused_attn import _fwd_pallas_large, _prep_weights
+
+    d, n_heads = 32, 2
+    attn, ln = _params(4, d=d)
+    weights = tuple(_prep_weights(attn, ln))
+    scale = (d // n_heads) ** -0.5
+
+    n = 512                               # 2 chunks of _LARGE_CHUNK=256
+    x = jnp.asarray(rng.randn(2, n, d), jnp.bfloat16)
+    got = _fwd_pallas_large(x, weights, n_heads, n, 1e-6, scale,
+                            interpret=True)
+    ref = _unfused(x.astype(jnp.float32), attn, ln, n_heads)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+    # canvas-style key mask: per-image valid prefixes
+    mask = np.zeros((2, n), bool)
+    mask[0, :300] = True
+    mask[1, :450] = True
+    got_m = _fwd_pallas_large(x, weights, n_heads, n, 1e-6, scale,
+                              key_mask=jnp.asarray(mask), interpret=True)
+    from sod_tpu.ops.attention import self_attention_qkv
+    from sod_tpu.ops.layers import layer_norm
+
+    xf = x.astype(jnp.float32)
+    ref_m = xf + self_attention_qkv(attn, layer_norm(ln, xf, 1e-6),
+                                    n_heads, key_mask=jnp.asarray(mask))
+    for i, nv in enumerate((300, 450)):   # compare valid rows only
+        np.testing.assert_allclose(
+            np.asarray(got_m, np.float32)[i, :nv],
+            np.asarray(ref_m, np.float32)[i, :nv],
+            atol=3e-2, rtol=3e-2, err_msg=f"image {i}")
+
+
+def test_fused_ln_attn_infer_cpu_fallback(rng):
+    """Off-TPU the infer entry routes to the exact unfused math, incl.
+    key-mask handling and non-chunk-multiple token counts."""
+    from sod_tpu.ops.fused_attn import fused_ln_attn_infer
+
+    attn, ln = _params(5)
+    x = jnp.asarray(rng.randn(2, 37, 32), jnp.float32)
+    got = fused_ln_attn_infer(x, attn, ln, n_heads=2)
+    ref = _unfused(x, attn, ln, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_custom_vjp_grads_match_autodiff_of_unfused(rng):
     """End-to-end grads through fused_ln_attn (CPU twin path) == autodiff
     of the unfused attention half, for x AND the weight tree."""
