@@ -22,8 +22,10 @@ import numpy as np
 from PIL import Image
 
 
-def run_mode(micro: bool, clients: int, per_client: int) -> None:
+def run_mode(micro: bool, clients: int, per_client: int,
+             raw: bool = False) -> None:
     import jax
+    import jax.numpy as jnp
 
     from sod_tpu.config import Config
     from sod_tpu.serving.inference import SelfMaskInference
@@ -43,13 +45,34 @@ def run_mode(micro: bool, clients: int, per_client: int) -> None:
     # warm the post-processing path once per thread's image
     svc.predict(pngs[0])
 
+    if raw:
+        # dispatch-path isolation: preprocessed 224px arrays straight into
+        # the batcher/forward, no PIL decode or post-processing — measures
+        # exactly what micro-batching accelerates (the device round-trip),
+        # independent of this box's single host core
+        arrs = [(np.random.RandomState(i).rand(224, 224, 3) * 255)
+                .astype(np.uint8) for i in range(clients)]
+
+        def dispatch(i):
+            if svc._batcher is not None:
+                return svc._batcher.submit(arrs[i])
+            m, o = svc._forward(svc.params,
+                                svc._prep(jnp.asarray(arrs[i])[None]))
+            return np.asarray(m)[0], np.asarray(o)[0]  # fetch == batcher path
+        dispatch(0)
+    else:
+        dispatch = None
+
     lat: list = []
     lock = threading.Lock()
 
     def worker(i):
         for _ in range(per_client):
             t0 = time.perf_counter()
-            svc.predict(pngs[i])
+            if raw:
+                dispatch(i)
+            else:
+                svc.predict(pngs[i])
             dt = time.perf_counter() - t0
             with lock:
                 lat.append(dt)
@@ -66,7 +89,7 @@ def run_mode(micro: bool, clients: int, per_client: int) -> None:
     lat.sort()
     p50 = lat[len(lat) // 2] * 1e3
     p95 = lat[int(len(lat) * 0.95)] * 1e3
-    print(f"micro_batch={int(micro)} clients={clients} "
+    print(f"micro_batch={int(micro)} clients={clients} raw={int(raw)} "
           f"{n / wall:8.1f} req/s  p50={p50:6.1f}ms p95={p95:6.1f}ms",
           flush=True)
     if svc._batcher is not None:
@@ -77,17 +100,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clients", type=int, default=16)
     ap.add_argument("--per-client", type=int, default=8)
+    ap.add_argument("--raw", action="store_true",
+                    help="dispatch path only (no PIL/PNG post-processing)")
     ap.add_argument("--one", choices=["on", "off"], default=None)
     args = ap.parse_args()
 
     if args.one is not None:
-        run_mode(args.one == "on", args.clients, args.per_client)
+        run_mode(args.one == "on", args.clients, args.per_client,
+                 raw=args.raw)
         return
     for mode in ("off", "on"):
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", mode,
              "--clients", str(args.clients),
-             "--per-client", str(args.per_client)],
+             "--per-client", str(args.per_client)]
+            + (["--raw"] if args.raw else []),
             capture_output=True, text=True)
         out = [ln for ln in r.stdout.splitlines() if "req/s" in ln]
         print(out[-1] if out else

@@ -27,7 +27,7 @@ import numpy as np
 from PIL import Image
 
 from sod_tpu.config import Config
-from sod_tpu.data.augment import normalize, resize_pil
+from sod_tpu.data.augment import resize_pil
 from sod_tpu.models.maskformer import config_from, maskformer_apply, maskformer_init
 
 
@@ -39,6 +39,12 @@ def jet_colormap(x: np.ndarray) -> np.ndarray:
     g = np.clip(1.5 - np.abs(4.0 * x - 2.0), 0, 1)
     b = np.clip(1.5 - np.abs(4.0 * x - 1.0), 0, 1)
     return (np.stack([r, g, b], -1) * 255).astype(np.uint8)
+
+
+# jet over the 256 possible uint8 mask levels: indexing this LUT with the
+# uint8 mask is bit-identical to jet_colormap(mask / 255) and ~10x cheaper
+# per pixel (the serving path is host-bound on post-processing)
+_JET_LUT = jet_colormap(np.arange(256, dtype=np.float32)[None] / 255.0)[0]
 
 
 def _b64_png(img: Image.Image) -> str:
@@ -54,7 +60,11 @@ class _Pending:
     def __init__(self, arr: np.ndarray):
         self.arr = arr
         self.event = threading.Event()
-        self.result: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        # (device_masks, device_objs, row) — the DISPATCHER never fetches;
+        # each caller pulls its own row so upload of batch k+1 overlaps
+        # download of batch k (the serving path's host<->device link is
+        # the bottleneck, not the chip)
+        self.result: Optional[Tuple[jax.Array, jax.Array, int]] = None
         self.error: Optional[BaseException] = None
 
 
@@ -75,7 +85,7 @@ class MicroBatcher:
     """
 
     def __init__(self, service, buckets: Tuple[int, ...] = (1, 4, 8, 16),
-                 max_wait_ms: float = 3.0):
+                 max_wait_ms: float = 3.0, dispatch_workers: int = 4):
         # late-bound: reads service._forward/params/_compute at dispatch
         # time, so swapping the service's forward (tests, checkpoint
         # reload) takes effect without rebuilding the batcher
@@ -84,23 +94,36 @@ class MicroBatcher:
         self.max_wait = max_wait_ms / 1e3
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
+        # a pool dispatches groups so several batches stay in flight:
+        # the host->device upload of one group overlaps the forward and
+        # download of the previous ones (a single dispatcher thread
+        # serializes on the upload and caps throughput when the
+        # host<->device link is slow relative to the chip)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=max(1, dispatch_workers),
+                                        thread_name_prefix="microbatch")
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     # ------------------------------------------------------------------
     def submit(self, arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """Blocking: returns (mask [H, W], objectness [Q]) for one image."""
+        """Blocking: returns (mask [H, W], objectness [Q]) for one resized
+        uint8 [H, W, 3] image (ImageNet normalization runs on device —
+        4x less host->device traffic than shipping normalized float32)."""
         p = _Pending(arr)
         self._q.put(p)
         p.event.wait()
         if p.error is not None:
             raise p.error
-        return p.result
+        masks, objs, row = p.result
+        return np.asarray(masks[row]), np.asarray(objs[row])
 
     def close(self) -> None:
         self._stop.set()
         self._q.put(None)           # wake the dispatcher
         self._thread.join(timeout=2.0)
+        self._pool.shutdown(wait=False)
 
     # ------------------------------------------------------------------
     def _bucket(self, n: int) -> int:
@@ -128,23 +151,28 @@ class MicroBatcher:
                 if nxt is None:
                     break
                 group.append(nxt)
-            try:
-                b = self._bucket(len(group))
-                batch = np.zeros((b,) + group[0].arr.shape, np.float32)
-                for i, p in enumerate(group):
-                    batch[i] = p.arr
-                svc = self._svc
-                masks, objs = svc._forward(
-                    svc.params, jnp.asarray(batch, svc._compute))
-                masks = np.asarray(masks)
-                objs = np.asarray(objs)
-                for i, p in enumerate(group):
-                    p.result = (masks[i], objs[i])
-                    p.event.set()
-            except BaseException as e:  # noqa: BLE001 — surface per caller
-                for p in group:
-                    p.error = e
-                    p.event.set()
+            self._pool.submit(self._dispatch_group, group)
+
+    def _dispatch_group(self, group: List[_Pending]) -> None:
+        try:
+            b = self._bucket(len(group))
+            batch = np.zeros((b,) + group[0].arr.shape,
+                             group[0].arr.dtype)
+            for i, p in enumerate(group):
+                batch[i] = p.arr
+            svc = self._svc
+            masks, objs = svc._forward(
+                svc.params, svc._prep(jnp.asarray(batch)))
+            # hand out device arrays; callers fetch their own rows
+            # (async results: the pool worker is free as soon as the
+            # dispatch is enqueued, downloads happen caller-side)
+            for i, p in enumerate(group):
+                p.result = (masks, objs, i)
+                p.event.set()
+        except BaseException as e:  # noqa: BLE001 — surface per caller
+            for p in group:
+                p.error = e
+                p.event.set()
 
 
 class SelfMaskInference:
@@ -178,7 +206,19 @@ class SelfMaskInference:
                                       best[:, None, None, None], axis=1)[:, 0]
             return sel.astype(jnp.float32), obj.astype(jnp.float32)
 
+        from sod_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+
+        @jax.jit
+        def prep(u8):
+            # on-device ImageNet normalize: predict ships resized uint8
+            # (602 KB -> 150 KB per image), bit-identical fp32 math to the
+            # host ``normalize`` (ref preprocess app.py:198-205)
+            x = ((u8.astype(jnp.float32) / 255.0
+                  - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD))
+            return x.astype(compute)
+
         self._forward = forward
+        self._prep = prep
         self._compute = compute
         self._batcher: Optional[MicroBatcher] = None
         if getattr(cfg, "micro_batch", False):
@@ -193,8 +233,8 @@ class SelfMaskInference:
             # first-compile stall
             buckets = self._batcher.buckets if self._batcher else (1,)
             for b in buckets:
-                self._forward(self.params,
-                              jnp.zeros((b, size, size, 3), compute))
+                self._forward(self.params, self._prep(
+                    jnp.zeros((b, size, size, 3), jnp.uint8)))
 
     def _load_params(self, model_path: Optional[str]):
         if model_path is None:
@@ -228,25 +268,30 @@ class SelfMaskInference:
         orig_w, orig_h = image.size
 
         size = self.cfg.eval_image_size
-        arr = normalize(np.asarray(
-            resize_pil(image, (size, size), "bilinear"), np.float32))
+        # ship resized uint8; ImageNet normalization runs on device
+        # (same math as augment.normalize, ref app.py:198-205)
+        arr = np.asarray(resize_pil(image, (size, size), "bilinear"),
+                         np.uint8)
         if self._batcher is not None:
             mask, obj = self._batcher.submit(arr)
             mask = np.clip(mask, 0.0, 1.0)
         else:
             mask, obj = self._forward(
-                self.params, jnp.asarray(arr, self._compute)[None])
+                self.params, self._prep(jnp.asarray(arr)[None]))
             mask = np.clip(np.asarray(mask)[0], 0.0, 1.0)
             obj = np.asarray(obj)[0]
 
         # LANCZOS upsample to original size (ref app.py:286-296)
         mask_img = Image.fromarray((mask * 255).astype(np.uint8))
         mask_full = mask_img.resize((orig_w, orig_h), Image.LANCZOS)
-        mask_arr = np.asarray(mask_full, np.float32) / 255.0
+        mask_u8 = np.asarray(mask_full)
 
-        heat = jet_colormap(mask_arr)
-        blended = (0.5 * np.asarray(image, np.float32)
-                   + 0.5 * heat.astype(np.float32)).astype(np.uint8)
+        # LUT colormap + integer blend: bit-identical to
+        # jet_colormap(mask/255) and (0.5*img + 0.5*heat).astype(uint8)
+        # (float truncation of k/2 == (a+b) >> 1 for integer a, b) at a
+        # fraction of the host cost
+        heat = _JET_LUT[mask_u8]
+        blended = ((np.asarray(image, np.uint16) + heat) >> 1).astype(np.uint8)
 
         out = {
             "original": _b64_png(image),
@@ -257,6 +302,7 @@ class SelfMaskInference:
         if refine:
             from sod_tpu.postprocess import bilateral_solver_output
 
+            mask_arr = mask_u8.astype(np.float32) / 255.0
             soft, binary = bilateral_solver_output(image, mask_arr)
             out["refined_mask"] = _b64_png(Image.fromarray(
                 (np.clip(soft, 0, 1) * 255).astype(np.uint8)))

@@ -101,6 +101,28 @@ def test_inference_jet_colormap():
     assert rgb[0, -1, 0] > rgb[0, -1, 2]   # high values red-ish
 
 
+def test_lut_heatmap_bit_identical_to_float_path():
+    """The serving fast path (jet LUT on the uint8 mask + integer blend)
+    must stay bit-identical to the reference-shaped float math it
+    replaced (ref heatmap app.py:297-311): LUT[v] == jet(v/255) and
+    (a + h) >> 1 == trunc(0.5a + 0.5h) for uint8 a, h."""
+    from sod_tpu.serving.inference import _JET_LUT
+
+    r = np.random.RandomState(0)
+    mask_u8 = np.concatenate([np.arange(256, dtype=np.uint8),
+                              r.randint(0, 256, 200).astype(np.uint8)])
+    mask_u8 = np.tile(mask_u8, 3)[:600].reshape(20, 30)
+    img = r.randint(0, 256, (20, 30, 3)).astype(np.uint8)
+
+    heat_old = jet_colormap(mask_u8.astype(np.float32) / 255.0)
+    blended_old = (0.5 * img.astype(np.float32)
+                   + 0.5 * heat_old.astype(np.float32)).astype(np.uint8)
+    heat_new = _JET_LUT[mask_u8]
+    blended_new = ((img.astype(np.uint16) + heat_new) >> 1).astype(np.uint8)
+    np.testing.assert_array_equal(heat_old, heat_new)
+    np.testing.assert_array_equal(blended_old, blended_new)
+
+
 # --------------------------- micro-batching ---------------------------------
 
 def test_micro_batcher_coalesces_and_is_correct():
