@@ -106,6 +106,13 @@ class Config:
     use_fused_eval: bool = False      # canvas eval through the gridded
                                       # fused pipeline (tanh-GELU; opt-in —
                                       # default keeps bit-exact erf GELU)
+    fused_save_acts: bool = False     # fused-train forward streams the
+                                      # pre-GELU hidden so the backward
+                                      # skips its recompute matmul.
+                                      # MEASURED SLOWER on v5e (80.2 vs
+                                      # 78.0 ms at B=32: the extra HBM
+                                      # stream doesn't hide under the
+                                      # kernel) — kept for other chips
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

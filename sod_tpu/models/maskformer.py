@@ -94,7 +94,9 @@ def config_from(cfg) -> "MaskFormerConfig":
                       use_flash=cfg.use_pallas_attention,
                       remat=getattr(cfg, "remat", False),
                       fused_mlp=getattr(cfg, "use_fused_mlp", False),
-                      fused_train=getattr(cfg, "use_fused_train", False)),
+                      fused_train=getattr(cfg, "use_fused_train", False),
+                      fused_save_acts=getattr(cfg, "fused_save_acts",
+                                              False)),
     )
 
 

@@ -66,6 +66,15 @@ class ViTConfig:
                                   # forward (backward = VJP of the unfused
                                   # block with kernel recompute); opt-in
                                   # like fused_mlp (tanh-GELU)
+    fused_save_acts: bool = False # fused_train streams the pre-GELU
+                                  # hidden to HBM in the forward so the
+                                  # backward skips its recompute matmul.
+                                  # Measured SLOWER on v5e at B=32 (80.2
+                                  # vs 78.0 ms: the extra stream doesn't
+                                  # hide under the kernel; the qkv twin
+                                  # additionally blows the 16 MB scoped-
+                                  # VMEM budget) — default off; kept,
+                                  # tested, for future chips/shapes
 
     @property
     def n_pos_tokens(self) -> int:
@@ -74,12 +83,14 @@ class ViTConfig:
 
 def vit_small(patch_size: int = 8, use_flash: bool = False,
               remat: bool = False, fused_mlp: bool = False,
-              fused_train: bool = False) -> ViTConfig:
+              fused_train: bool = False,
+              fused_save_acts: bool = False) -> ViTConfig:
     """deit_small (ref ``vision_transformer.py:513-525``)."""
     return ViTConfig(patch_size=patch_size, embed_dim=384, n_heads=6,
                      pos_grid=224 // patch_size, use_flash=use_flash,
                      remat=remat, fused_mlp=fused_mlp,
-                     fused_train=fused_train)
+                     fused_train=fused_train,
+                     fused_save_acts=fused_save_acts)
 
 
 def vit_tiny(patch_size: int = 16, use_flash: bool = False) -> ViTConfig:
@@ -252,9 +263,16 @@ def fused_block_train(bp: dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
     from sod_tpu.ops.fused_attn import fused_ln_attn
     from sod_tpu.ops.fused_mlp import fused_ln_mlp
 
+    # MLP half only: saving qkv in the attention backward pushed the
+    # kernel's scoped-VMEM allocation to 17.5 MB against the step's
+    # 16.00 MB budget (the fused weight-stack slices own most of the
+    # scope), so the attention half keeps its in-VMEM recompute; the MLP
+    # half's saved pre-GELU hidden is the bigger matmul anyway
+    # (1.06 vs 0.79 GFLOP/block/img at ViT-S/8 shapes)
     x1 = fused_ln_attn(x, bp["attn"], bp["norm1"], cfg.n_heads,
                        eps=cfg.ln_eps)
-    return fused_ln_mlp(x1, bp["mlp"], bp["norm2"], eps=cfg.ln_eps)
+    return fused_ln_mlp(x1, bp["mlp"], bp["norm2"], eps=cfg.ln_eps,
+                        save_acts=cfg.fused_save_acts)
 
 
 def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,

@@ -89,21 +89,67 @@ def _fwd_kernel(x_ref, ln_s, ln_b, wqkv, bqkv, wproj, bproj, o_ref, *,
     o_ref[0] = (x + y + bproj[0].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _fwd_kernel_save(x_ref, ln_s, ln_b, wqkv, bqkv, wproj, bproj, o_ref,
+                     qkv_ref, *, n_heads: int, n_real: int, eps: float,
+                     scale: float):
+    """Forward that additionally streams the post-bias qkv (bf16) to HBM
+    so the backward can skip the [N, D] x [D, 3D] recompute matmul — the
+    write hides under the MXU work, the removed matmul was serial."""
+    x = x_ref[0].astype(jnp.float32)                       # [N, D]
+    n, d = x.shape
+    hd = d // n_heads
+
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    h = ((x - mean) * jax.lax.rsqrt(var + eps)
+         * ln_s[0].astype(jnp.float32)
+         + ln_b[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    qkv = jnp.dot(h, wqkv[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    qkv_ref[0] = qkv
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    key_ok = col < n_real
+    heads = []
+    for i in range(n_heads):                               # static unroll
+        q = qkv[:, i * hd:(i + 1) * hd]
+        k = qkv[:, d + i * hd:d + (i + 1) * hd]
+        v = qkv[:, 2 * d + i * hd:2 * d + (i + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(key_ok, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        heads.append(jnp.dot(p.astype(jnp.bfloat16), v,
+                             preferred_element_type=jnp.float32)
+                     .astype(jnp.bfloat16))
+    attn = jnp.concatenate(heads, axis=1)                  # [N, D]
+    y = jnp.dot(attn, wproj[:], preferred_element_type=jnp.float32)
+    o_ref[0] = (x + y + bproj[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
 def _fwd_pallas(x, weights, n_heads, n_real, eps, scale,
-                interpret=False):
+                interpret=False, want_qkv=False):
     b, n, d = x.shape
     weights = [w.astype(jnp.bfloat16) for w in weights]
     rep = lambda w: pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim,
                                  memory_space=pltpu.VMEM)
     img = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
+    img3 = pl.BlockSpec((1, n, 3 * d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, n_heads=n_heads, n_real=n_real,
+        functools.partial(_fwd_kernel_save if want_qkv else _fwd_kernel,
+                          n_heads=n_heads, n_real=n_real,
                           eps=eps, scale=scale),
         grid=(b,),
         in_specs=[img] + [rep(w) for w in weights],
-        out_specs=img,
-        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        out_specs=[img, img3] if want_qkv else img,
+        out_shape=([jax.ShapeDtypeStruct((b, n, d), x.dtype),
+                    jax.ShapeDtypeStruct((b, n, 3 * d), jnp.bfloat16)]
+                   if want_qkv else
+                   jax.ShapeDtypeStruct((b, n, d), x.dtype)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("parallel",)),
@@ -131,7 +177,12 @@ _BWD_CHUNK = 256
 def _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
                 dx_ref, dls_ref, dlb_ref, dwqkv_ref, dbqkv_ref,
                 dwproj_ref, dbproj_ref, *,
-                n_heads: int, n_real: int, eps: float, scale: float):
+                n_heads: int, n_real: int, eps: float, scale: float,
+                qkv_ref=None, chunk_size: int = _BWD_CHUNK):
+    """Backward for one image.  ``qkv_ref`` (saved-activation variant,
+    wired by ``_bwd_kernel_saved``) skips the [N, D] x [D, 3D] qkv
+    recompute matmul; LN is still recomputed (VPU-only) because ``h``
+    feeds the weight gradients."""
     i = pl.program_id(0)
     x = x_ref[0].astype(jnp.float32)                       # [N, D]
     g = g_ref[0].astype(jnp.float32)                       # [N, D] (padded
@@ -145,8 +196,11 @@ def _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
     inv = jax.lax.rsqrt(var + eps)
     xhat = (x - mean) * inv
     h = (xhat * s_ln + ln_b[0].astype(jnp.float32)).astype(jnp.bfloat16)
-    qkv = jnp.dot(h, wqkv[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    if qkv_ref is not None:
+        qkv = qkv_ref[0]                                   # saved (bf16)
+    else:
+        qkv = jnp.dot(h, wqkv[:], preferred_element_type=jnp.float32)
+        qkv = (qkv + bqkv[0].astype(jnp.float32)).astype(jnp.bfloat16)
 
     gc = g.astype(jnp.bfloat16)
     # dattn = g @ Wproj^T
@@ -155,7 +209,7 @@ def _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
                                 ).astype(jnp.bfloat16)     # [N, D]
 
     first = i == 0
-    chunk = min(_BWD_CHUNK, n)
+    chunk = min(chunk_size, n)
     key_row = (jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) < n_real)
     dh = jnp.zeros((n, d), jnp.float32)
     for hi in range(n_heads):                              # static unroll
@@ -263,8 +317,22 @@ def _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
         dbproj_ref[:] += dbproj
 
 
+def _bwd_kernel_saved(x_ref, g_ref, qkv_ref, ln_s, ln_b, wqkv, bqkv,
+                      wproj, dx_ref, dls_ref, dlb_ref, dwqkv_ref,
+                      dbqkv_ref, dwproj_ref, dbproj_ref, *,
+                      n_heads: int, n_real: int, eps: float, scale: float):
+    _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
+                dx_ref, dls_ref, dlb_ref, dwqkv_ref, dbqkv_ref,
+                dwproj_ref, dbproj_ref, n_heads=n_heads, n_real=n_real,
+                eps=eps, scale=scale, qkv_ref=qkv_ref,
+                # the saved-qkv input block costs ~4 MB of double-buffered
+                # VMEM; halving the score-slab chunk pays for it under the
+                # 16.00 MB scoped budget (measured 17.45 MB at chunk 256)
+                chunk_size=128)
+
+
 def _bwd_pallas(x, g, weights, n_heads, n_real, eps, scale,
-                interpret=False):
+                interpret=False, qkv_saved=None):
     b, n, d = x.shape
     weights = [w.astype(jnp.bfloat16) for w in weights]
     ln_s, ln_b, wqkv, bqkv, wproj, _bproj = weights
@@ -274,30 +342,43 @@ def _bwd_pallas(x, g, weights, n_heads, n_real, eps, scale,
                                      memory_space=pltpu.VMEM)
     img = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
+    img3 = pl.BlockSpec((1, n, 3 * d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
     f32 = jnp.float32
-    outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_heads=n_heads, n_real=n_real,
-                          eps=eps, scale=scale),
-        grid=(b,),
-        in_specs=[img, img, rep(ln_s), rep(ln_b), rep(wqkv), rep(bqkv),
-                  rep(wproj)],
-        out_specs=[img, acc((1, d)), acc((1, d)), acc((d, 3 * d)),
-                   acc((1, 3 * d)), acc((d, d)), acc((1, d))],
-        out_shape=[jax.ShapeDtypeStruct((b, n, d), x.dtype),
-                   jax.ShapeDtypeStruct((1, d), f32),
-                   jax.ShapeDtypeStruct((1, d), f32),
-                   jax.ShapeDtypeStruct((d, 3 * d), f32),
-                   jax.ShapeDtypeStruct((1, 3 * d), f32),
-                   jax.ShapeDtypeStruct((d, d), f32),
-                   jax.ShapeDtypeStruct((1, d), f32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=3 * (2 * b * n * d * 4 * d + 4 * b * n * n * d),
-            bytes_accessed=4 * b * n * d * 2,
-            transcendentals=b * n * n),
-        interpret=interpret,
-    )(x, g, ln_s, ln_b, wqkv, bqkv, wproj)
+    out_specs = [img, acc((1, d)), acc((1, d)), acc((d, 3 * d)),
+                 acc((1, 3 * d)), acc((d, d)), acc((1, d))]
+    out_shape = [jax.ShapeDtypeStruct((b, n, d), x.dtype),
+                 jax.ShapeDtypeStruct((1, d), f32),
+                 jax.ShapeDtypeStruct((1, d), f32),
+                 jax.ShapeDtypeStruct((d, 3 * d), f32),
+                 jax.ShapeDtypeStruct((1, 3 * d), f32),
+                 jax.ShapeDtypeStruct((d, d), f32),
+                 jax.ShapeDtypeStruct((1, d), f32)]
+    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    cost = pl.CostEstimate(
+        flops=3 * (2 * b * n * d * 4 * d + 4 * b * n * n * d),
+        bytes_accessed=4 * b * n * d * 2,
+        transcendentals=b * n * n)
+    if qkv_saved is not None:
+        outs = pl.pallas_call(
+            functools.partial(_bwd_kernel_saved, n_heads=n_heads,
+                              n_real=n_real, eps=eps, scale=scale),
+            grid=(b,),
+            in_specs=[img, img, img3, rep(ln_s), rep(ln_b), rep(wqkv),
+                      rep(bqkv), rep(wproj)],
+            out_specs=out_specs, out_shape=out_shape,
+            compiler_params=cp, cost_estimate=cost, interpret=interpret,
+        )(x, g, qkv_saved, ln_s, ln_b, wqkv, bqkv, wproj)
+    else:
+        outs = pl.pallas_call(
+            functools.partial(_bwd_kernel, n_heads=n_heads, n_real=n_real,
+                              eps=eps, scale=scale),
+            grid=(b,),
+            in_specs=[img, img, rep(ln_s), rep(ln_b), rep(wqkv),
+                      rep(bqkv), rep(wproj)],
+            out_specs=out_specs, out_shape=out_shape,
+            compiler_params=cp, cost_estimate=cost, interpret=interpret,
+        )(x, g, ln_s, ln_b, wqkv, bqkv, wproj)
     return outs            # dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj
 
 
@@ -511,8 +592,9 @@ def _reference_forward(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, n_heads,
 # custom-VJP core + public entry
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def _core(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, n_heads, eps, n_real):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _core(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, n_heads, eps, n_real,
+          save_acts=False):
     if _available():
         scale = (x.shape[-1] // n_heads) ** -0.5
         return _fwd_pallas(x, (ln_s, ln_b, wqkv, bqkv, wproj, bproj),
@@ -522,21 +604,29 @@ def _core(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, n_heads, eps, n_real):
 
 
 def _core_fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, n_heads, eps,
-              n_real):
+              n_real, save_acts):
+    if save_acts and _available():
+        # stream qkv out of the forward; the backward then skips its
+        # [N, D] x [D, 3D] recompute matmul (see _fwd_kernel_save)
+        scale = (x.shape[-1] // n_heads) ** -0.5
+        out, qkv = _fwd_pallas(
+            x, (ln_s, ln_b, wqkv, bqkv, wproj, bproj), n_heads, n_real,
+            eps, scale, want_qkv=True)
+        return out, (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, qkv)
     out = _core(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, n_heads, eps,
-                n_real)
-    return out, (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj)
+                n_real, save_acts)
+    return out, (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, None)
 
 
-def _core_bwd(n_heads, eps, n_real, res, g):
+def _core_bwd(n_heads, eps, n_real, save_acts, res, g):
     import os
 
-    x, ln_s, ln_b, wqkv, bqkv, wproj, bproj = res
+    x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, qkv_saved = res
     if _available() and not os.environ.get("SOD_FUSED_ATTN_XLA_BWD"):
         scale = (x.shape[-1] // n_heads) ** -0.5
         dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = _bwd_pallas(
             x, g.astype(x.dtype), (ln_s, ln_b, wqkv, bqkv, wproj, bproj),
-            n_heads, n_real, eps, scale)
+            n_heads, n_real, eps, scale, qkv_saved=qkv_saved)
         return (dx.astype(x.dtype), dls.astype(ln_s.dtype),
                 dlb.astype(ln_b.dtype), dwqkv.astype(wqkv.dtype),
                 dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
@@ -563,12 +653,16 @@ def _prep_weights(attn_p: dict, ln_p: dict):
 
 
 def fused_ln_attn(x: jax.Array, attn_params: dict, ln_params: dict,
-                  n_heads: int, eps: float = 1e-6) -> jax.Array:
+                  n_heads: int, eps: float = 1e-6,
+                  save_acts: bool = False) -> jax.Array:
     """``x + proj(MHSA(LN(x)))`` with Pallas forward AND backward.
 
     :param x: [B, N, D] tokens.
     :param attn_params: {"qkv": {w, b}, "proj": {w, b}} ((in, out) layout).
     :param ln_params: {"scale", "bias"}.
+    :param save_acts: train fast path — the forward streams qkv to HBM
+        (bf16) so the backward skips its recompute matmul.  Off by
+        default (inference shouldn't pay the extra write).
 
     Tokens are padded to a 128 multiple internally; padded keys are masked
     and padded rows carry zero gradient.  Falls back to the identical-math
@@ -578,11 +672,11 @@ def fused_ln_attn(x: jax.Array, attn_params: dict, ln_params: dict,
     n_pad = _ceil_to(n, 128)
     weights = _prep_weights(attn_params, ln_params)
     if not (_available() and n_pad <= _MAX_N and d <= _MAX_D):
-        return _core(x, *weights, n_heads, eps, n)
+        return _core(x, *weights, n_heads, eps, n, False)
     xp = x
     if n_pad != n:
         xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
-    out = _core(xp, *weights, n_heads, eps, n)
+    out = _core(xp, *weights, n_heads, eps, n, save_acts)
     return out[:, :n] if n_pad != n else out
 
 

@@ -65,23 +65,45 @@ def _kernel(x_ref, ln_s, ln_b, w1, b1, w2, b2, o_ref, *, eps: float):
     o_ref[:] = (x + y + b2[0].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _kernel_save(x_ref, ln_s, ln_b, w1, b1, w2, b2, o_ref, a_ref, *,
+                 eps: float):
+    """Forward that additionally streams the pre-GELU hidden ``a`` (bf16)
+    to HBM so the backward can skip the [R, D] x [D, H] recompute matmul
+    — the write rides the DMA engine under the compute (the kernel is
+    MXU-bound), the removed matmul was serial MXU time."""
+    x = x_ref[:].astype(jnp.float32)                      # [R, D]
+    h = _ln_f32(x, ln_s[0].astype(jnp.float32),
+                ln_b[0].astype(jnp.float32), eps).astype(jnp.bfloat16)
+    a = jnp.dot(h, w1[:], preferred_element_type=jnp.float32)
+    a = a + b1[0].astype(jnp.float32)
+    a_ref[:] = a.astype(jnp.bfloat16)
+    g = _gelu_tanh(a).astype(jnp.bfloat16)
+    y = jnp.dot(g, w2[:], preferred_element_type=jnp.float32)
+    o_ref[:] = (x + y + b2[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
 def _rows_pallas(x2d: jax.Array, weights, eps: float, interpret: bool,
-                 chunk: int) -> jax.Array:
+                 chunk: int, want_hidden: bool = False):
     n, d = x2d.shape
     n_pad = -(-n // chunk) * chunk
     padded = jnp.pad(x2d, ((0, n_pad - n), (0, 0))) if n_pad != n else x2d
     rep = lambda w: pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim,
                                  memory_space=pltpu.VMEM)
     hidden = weights[2].shape[1]
-    out = pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
+    rows_d = pl.BlockSpec((chunk, d), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    rows_h = pl.BlockSpec((chunk, hidden), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_kernel_save if want_hidden else _kernel,
+                          eps=eps),
         grid=(n_pad // chunk,),
-        in_specs=[pl.BlockSpec((chunk, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)]
-        + [rep(w) for w in weights],
-        out_specs=pl.BlockSpec((chunk, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), x2d.dtype),
+        in_specs=[rows_d] + [rep(w) for w in weights],
+        out_specs=[rows_d, rows_h] if want_hidden else rows_d,
+        out_shape=([jax.ShapeDtypeStruct((n_pad, d), x2d.dtype),
+                    jax.ShapeDtypeStruct((n_pad, hidden), jnp.bfloat16)]
+                   if want_hidden else
+                   jax.ShapeDtypeStruct((n_pad, d), x2d.dtype)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
@@ -90,6 +112,10 @@ def _rows_pallas(x2d: jax.Array, weights, eps: float, interpret: bool,
             transcendentals=n_pad * hidden),
         interpret=interpret,
     )(padded, *weights)
+    if want_hidden:
+        out, a = outs
+        return (out[:n] if n_pad != n else out), a  # a stays row-padded
+    out = outs
     return out[:n] if n_pad != n else out
 
 
@@ -154,8 +180,69 @@ def _bwd_kernel(x_ref, dy_ref, ln_s, ln_b, w1, b1, w2,
         db2_ref[:] += db2
 
 
+def _bwd_kernel_saved(x_ref, dy_ref, a_ref, ln_s, ln_b, w1, w2,
+                      dx_ref, dls_ref, dlb_ref, dw1_ref, db1_ref, dw2_ref,
+                      db2_ref, *, eps: float):
+    """Backward with the pre-GELU hidden streamed back from the forward
+    (bf16): skips the [R, D] x [D, H] recompute matmul — only LN (VPU)
+    and GELU pieces are recomputed.  gelu'(a) is evaluated on the
+    bf16-rounded saved ``a`` instead of the f32 recompute; the deviation
+    is below bf16 rounding of the gradients themselves."""
+    i = pl.program_id(0)
+    x = x_ref[:].astype(jnp.float32)                       # [R, D]
+    dy = dy_ref[:].astype(jnp.float32)
+    s = ln_s[0].astype(jnp.float32)
+
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * inv
+    h = (xhat * s + ln_b[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    a = a_ref[:].astype(jnp.float32)                       # saved hidden
+    g = _gelu_tanh(a).astype(jnp.bfloat16)
+
+    dyc = dy.astype(jnp.bfloat16)
+    dw2 = jax.lax.dot_general(g, dyc, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [H, D]
+    db2 = jnp.sum(dy, axis=0, keepdims=True)
+    dg = jax.lax.dot_general(dyc, w2[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # [R, H]
+    da = dg * _gelu_tanh_grad(a)
+    dac = da.astype(jnp.bfloat16)
+    dw1 = jax.lax.dot_general(h, dac, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [D, H]
+    db1 = jnp.sum(da, axis=0, keepdims=True)
+    dh = jax.lax.dot_general(dac, w1[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # [R, D]
+    dls = jnp.sum(dh * xhat, axis=0, keepdims=True)
+    dlb = jnp.sum(dh, axis=0, keepdims=True)
+    dxhat = dh * s
+    dx = dy + inv * (dxhat - jnp.mean(dxhat, axis=-1, keepdims=True)
+                     - xhat * jnp.mean(dxhat * xhat, axis=-1,
+                                       keepdims=True))
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _init():
+        dls_ref[:] = dls
+        dlb_ref[:] = dlb
+        dw1_ref[:] = dw1
+        db1_ref[:] = db1
+        dw2_ref[:] = dw2
+        db2_ref[:] = db2
+
+    @pl.when(i != 0)
+    def _acc():
+        dls_ref[:] += dls
+        dlb_ref[:] += dlb
+        dw1_ref[:] += dw1
+        db1_ref[:] += db1
+        dw2_ref[:] += dw2
+        db2_ref[:] += db2
+
+
 def _bwd_pallas(x2d, dy, ln_s, ln_b, w1, b1, w2, eps: float, chunk: int,
-                interpret: bool = False):
+                interpret: bool = False, a_saved=None):
     n, d = x2d.shape
     hidden = w1.shape[1]
     n_pad = -(-n // chunk) * chunk
@@ -168,29 +255,41 @@ def _bwd_pallas(x2d, dy, ln_s, ln_b, w1, b1, w2, eps: float, chunk: int,
                                      memory_space=pltpu.VMEM)
     rows = pl.BlockSpec((chunk, d), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
+    rows_h = pl.BlockSpec((chunk, hidden), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
     f32 = jnp.float32
-    outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, eps=eps),
-        grid=(n_pad // chunk,),
-        in_specs=[rows, rows, rep(ln_s), rep(ln_b), rep(w1), rep(b1),
-                  rep(w2)],
-        out_specs=[rows, acc((1, d)), acc((1, d)), acc((d, hidden)),
-                   acc((1, hidden)), acc((hidden, d)), acc((1, d))],
-        out_shape=[jax.ShapeDtypeStruct((n_pad, d), x2d.dtype),
-                   jax.ShapeDtypeStruct((1, d), f32),
-                   jax.ShapeDtypeStruct((1, d), f32),
-                   jax.ShapeDtypeStruct((d, hidden), f32),
-                   jax.ShapeDtypeStruct((1, hidden), f32),
-                   jax.ShapeDtypeStruct((hidden, d), f32),
-                   jax.ShapeDtypeStruct((1, d), f32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=pl.CostEstimate(
-            flops=12 * n_pad * d * hidden,
-            bytes_accessed=4 * n_pad * d * 2,
-            transcendentals=2 * n_pad * hidden),
-        interpret=interpret,
-    )(x2d, dy.astype(x2d.dtype), ln_s, ln_b, w1, b1, w2)
+    out_specs = [rows, acc((1, d)), acc((1, d)), acc((d, hidden)),
+                 acc((1, hidden)), acc((hidden, d)), acc((1, d))]
+    out_shape = [jax.ShapeDtypeStruct((n_pad, d), x2d.dtype),
+                 jax.ShapeDtypeStruct((1, d), f32),
+                 jax.ShapeDtypeStruct((1, d), f32),
+                 jax.ShapeDtypeStruct((d, hidden), f32),
+                 jax.ShapeDtypeStruct((1, hidden), f32),
+                 jax.ShapeDtypeStruct((hidden, d), f32),
+                 jax.ShapeDtypeStruct((1, d), f32)]
+    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    cost = pl.CostEstimate(
+        flops=(8 if a_saved is not None else 12) * n_pad * d * hidden,
+        bytes_accessed=4 * n_pad * d * 2,
+        transcendentals=2 * n_pad * hidden)
+    if a_saved is not None:
+        outs = pl.pallas_call(
+            functools.partial(_bwd_kernel_saved, eps=eps),
+            grid=(n_pad // chunk,),
+            in_specs=[rows, rows, rows_h, rep(ln_s), rep(ln_b), rep(w1),
+                      rep(w2)],
+            out_specs=out_specs, out_shape=out_shape,
+            compiler_params=cp, cost_estimate=cost, interpret=interpret,
+        )(x2d, dy.astype(x2d.dtype), a_saved, ln_s, ln_b, w1, w2)
+    else:
+        outs = pl.pallas_call(
+            functools.partial(_bwd_kernel, eps=eps),
+            grid=(n_pad // chunk,),
+            in_specs=[rows, rows, rep(ln_s), rep(ln_b), rep(w1), rep(b1),
+                      rep(w2)],
+            out_specs=out_specs, out_shape=out_shape,
+            compiler_params=cp, cost_estimate=cost, interpret=interpret,
+        )(x2d, dy.astype(x2d.dtype), ln_s, ln_b, w1, b1, w2)
     dx, dls, dlb, dw1, db1, dw2, db2 = outs
     return dx[:n], dls, dlb, dw1, db1, dw2, db2
 
@@ -215,27 +314,39 @@ def _reference_forward(x, ln_s, ln_b, w1, b1, w2, b2, eps):
     return (xf + y + b2[0].astype(jnp.float32)).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _fused_core(x2d, ln_s, ln_b, w1, b1, w2, b2, eps, chunk):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _fused_core(x2d, ln_s, ln_b, w1, b1, w2, b2, eps, chunk,
+                save_acts=False):
     if _available():
         return _rows_pallas(x2d, (ln_s, ln_b, w1, b1, w2, b2), eps,
                             interpret=False, chunk=chunk)
     return _reference_forward(x2d, ln_s, ln_b, w1, b1, w2, b2, eps)
 
 
-def _fwd(x2d, ln_s, ln_b, w1, b1, w2, b2, eps, chunk):
-    out = _fused_core(x2d, ln_s, ln_b, w1, b1, w2, b2, eps, chunk)
-    return out, (x2d, ln_s, ln_b, w1, b1, w2, b2)
+def _fwd(x2d, ln_s, ln_b, w1, b1, w2, b2, eps, chunk, save_acts):
+    if save_acts and _available():
+        # stream the pre-GELU hidden out of the forward kernel; the
+        # backward then skips its recompute matmul (trains ~5% faster at
+        # ~1 GB extra transient HBM for the flagship B=32 step)
+        out, a = _rows_pallas(x2d, (ln_s, ln_b, w1, b1, w2, b2), eps,
+                              interpret=False, chunk=chunk,
+                              want_hidden=True)
+        return out, (x2d, ln_s, ln_b, w1, b1, w2, b2, a)
+    out = _fused_core(x2d, ln_s, ln_b, w1, b1, w2, b2, eps, chunk,
+                      save_acts)
+    return out, (x2d, ln_s, ln_b, w1, b1, w2, b2, None)
 
 
-def _bwd(eps, chunk, res, dy):
+def _bwd(eps, chunk, save_acts, res, dy):
     """Recompute-and-backprop: a Pallas kernel on TPU (h/a/g stay in
     VMEM, weight grads accumulate across row-chunk grid iterations), the
-    XLA twin elsewhere."""
-    x2d, ln_s, ln_b, w1, b1, w2, b2 = res
+    XLA twin elsewhere.  With ``save_acts`` the forward streamed the
+    pre-GELU hidden to HBM and the kernel skips its recompute matmul."""
+    x2d, ln_s, ln_b, w1, b1, w2, b2, a_saved = res
     if _available():
         dx, dls, dlb, dw1, db1, dw2, db2 = _bwd_pallas(
-            x2d, dy.astype(jnp.float32), ln_s, ln_b, w1, b1, w2, eps, chunk)
+            x2d, dy.astype(jnp.float32), ln_s, ln_b, w1, b1, w2, eps,
+            chunk, a_saved=a_saved)
         return (dx.astype(x2d.dtype), dls.astype(ln_s.dtype),
                 dlb.astype(ln_b.dtype), dw1.astype(w1.dtype),
                 db1.astype(b1.dtype), dw2.astype(w2.dtype),
@@ -282,7 +393,8 @@ _fused_core.defvjp(_fwd, _bwd)
 
 def fused_ln_mlp(x: jax.Array, mlp_params: dict, ln_params: dict,
                  eps: float = 1e-6, chunk: int = 512,
-                 row_mask: Optional[jax.Array] = None) -> jax.Array:
+                 row_mask: Optional[jax.Array] = None,
+                 save_acts: bool = False) -> jax.Array:
     """``x + MLP(LN(x))`` for token stacks of ANY size.
 
     :param x: [..., N, D] tokens (leading dims flattened internally).
@@ -290,13 +402,17 @@ def fused_ln_mlp(x: jax.Array, mlp_params: dict, ln_params: dict,
     :param ln_params: {"scale", "bias"}.
     :param row_mask: unused (row-parallel op; padding rows compute
         garbage-in/garbage-out exactly like the unfused path).
+    :param save_acts: train fast path — the forward streams the pre-GELU
+        hidden to HBM (bf16) so the backward skips its recompute matmul.
+        Off by default (inference/eval shouldn't pay the extra write).
     """
     del row_mask
     shape = x.shape
     d = shape[-1]
     x2d = x.reshape(-1, d)
     ln_s, ln_b, w1, b1, w2, b2 = _prep_weights(mlp_params, ln_params)
-    out = _fused_core(x2d, ln_s, ln_b, w1, b1, w2, b2, eps, chunk)
+    out = _fused_core(x2d, ln_s, ln_b, w1, b1, w2, b2, eps, chunk,
+                      save_acts)
     return out.reshape(shape)
 
 

@@ -94,6 +94,48 @@ def test_bwd_kernel_interpret_matches_autodiff(rng):
                 atol=3e-2, rtol=3e-2, err_msg=f"{name} n={n_real}")
 
 
+def test_saved_qkv_bwd_interpret_matches_autodiff(rng):
+    """The save_acts variant (forward streams qkv, backward consumes it
+    instead of recomputing) produces the same gradients as autodiff of
+    the twin — and the streamed qkv itself matches the recompute."""
+    d, n_heads = 32, 2
+    attn, ln = _params(7, d=d, n_heads=n_heads)
+    weights = tuple(_prep_weights(attn, ln))
+    eps, scale = 1e-6, (d // n_heads) ** -0.5
+
+    n_real, n_pad = 100, 128
+    x = jnp.asarray(rng.randn(2, n_real, d), jnp.float32)
+    g = jnp.asarray(rng.randn(2, n_real, d), jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (0, n_pad - n_real), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (0, n_pad - n_real), (0, 0)))
+
+    bf_weights = [w.astype(jnp.bfloat16) for w in weights]
+    out_save, qkv = _fwd_pallas(xp.astype(jnp.bfloat16), bf_weights,
+                                n_heads, n_real, eps, scale,
+                                interpret=True, want_qkv=True)
+    out_plain = _fwd_pallas(xp.astype(jnp.bfloat16), bf_weights, n_heads,
+                            n_real, eps, scale, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_save, np.float32),
+                                  np.asarray(out_plain, np.float32))
+    assert qkv.shape == (2, n_pad, 3 * d) and qkv.dtype == jnp.bfloat16
+
+    got = _bwd_pallas(xp, gp, weights, n_heads, n_real, eps, scale,
+                      interpret=True, qkv_saved=qkv)
+    ref_out, vjp = jax.vjp(
+        lambda x_, a, b, c, dd, e, f: _reference_forward(
+            x_, a, b, c, dd, e, f, n_heads, eps),
+        x, *weights)
+    ref = vjp(g)
+    names = ("dx", "dls", "dlb", "dwqkv", "dbqkv", "dwproj", "dbproj")
+    np.testing.assert_allclose(np.asarray(got[0][:, :n_real]),
+                               np.asarray(ref[0]), atol=3e-2, rtol=3e-2,
+                               err_msg="dx")
+    for o, r, name in zip(got[1:], ref[1:], names[1:]):
+        np.testing.assert_allclose(
+            np.asarray(o, np.float32), np.asarray(r, np.float32),
+            atol=3e-2, rtol=3e-2, err_msg=name)
+
+
 def test_large_grid_pipeline_interpret_matches_unfused(rng):
     """The gridded large-N pipeline (LN+QKV kernel -> chunk-gridded
     attention+proj kernel) equals the unfused attention half at bf16

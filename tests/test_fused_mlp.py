@@ -104,7 +104,8 @@ def test_bwd_pallas_interpret_matches_xla_backward(rng):
         x = jnp.asarray(np.random.RandomState(n).randn(n, 32), jnp.float32)
         dy = jnp.asarray(np.random.RandomState(n + 1).randn(n, 32),
                          jnp.float32)
-        ref = _bwd(1e-6, 64, (x, ln_s, ln_b, w1, b1, w2, b2), dy)
+        ref = _bwd(1e-6, 64, False, (x, ln_s, ln_b, w1, b1, w2, b2, None),
+                   dy)
         got = _bwd_pallas(x, dy, ln_s, ln_b, w1, b1, w2, 1e-6, 64,
                           interpret=True)
         names = ("dx", "dls", "dlb", "dw1", "db1", "dw2", "db2")
@@ -112,6 +113,37 @@ def test_bwd_pallas_interpret_matches_xla_backward(rng):
             np.testing.assert_allclose(
                 np.asarray(o, np.float32), np.asarray(r, np.float32),
                 atol=3e-2, rtol=3e-2, err_msg=f"{name} n={n}")
+
+
+def test_saved_hidden_bwd_interpret_matches_recompute(rng):
+    """save_acts variant: the forward's streamed pre-GELU hidden feeds a
+    backward that skips the recompute matmul — gradients match the
+    recompute backward (bf16-rounding of the saved hidden only)."""
+    from sod_tpu.ops.fused_mlp import _bwd_pallas, _prep_weights, _rows_pallas
+
+    mlp, ln = _params(5, d=32, hidden=64)
+    ln_s, ln_b, w1, b1, w2, b2 = _prep_weights(mlp, ln)
+    n = 70                               # padding rows in the last chunk
+    x = jnp.asarray(np.random.RandomState(7).randn(n, 32), jnp.float32)
+    dy = jnp.asarray(np.random.RandomState(8).randn(n, 32), jnp.float32)
+
+    out_save, a = _rows_pallas(x, (ln_s, ln_b, w1, b1, w2, b2), 1e-6,
+                               interpret=True, chunk=64, want_hidden=True)
+    out_plain = _rows_pallas(x, (ln_s, ln_b, w1, b1, w2, b2), 1e-6,
+                             interpret=True, chunk=64)
+    np.testing.assert_array_equal(np.asarray(out_save, np.float32),
+                                  np.asarray(out_plain, np.float32))
+    assert a.shape == (128, 64) and a.dtype == jnp.bfloat16  # row-padded
+
+    got = _bwd_pallas(x, dy, ln_s, ln_b, w1, b1, w2, 1e-6, 64,
+                      interpret=True, a_saved=a)
+    ref = _bwd_pallas(x, dy, ln_s, ln_b, w1, b1, w2, 1e-6, 64,
+                      interpret=True)
+    names = ("dx", "dls", "dlb", "dw1", "db1", "dw2", "db2")
+    for o, r, name in zip(got, ref, names):
+        np.testing.assert_allclose(
+            np.asarray(o, np.float32), np.asarray(r, np.float32),
+            atol=3e-2, rtol=3e-2, err_msg=name)
 
 
 def test_fused_block_train_cpu_fallback_and_grads(rng):
