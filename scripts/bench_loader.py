@@ -34,9 +34,9 @@ def build_realistic_duts(root: str, n: int = 1200, img_size: int = 224):
     duts = os.path.join(root, "DUTS")
     tr = os.path.join(duts, "DUTS-TR-Image")
     pm_fp = os.path.join(root, "pseudo.json")
+    os.makedirs(tr, exist_ok=True)
     if os.path.isfile(pm_fp) and len(os.listdir(tr)) >= n:
         return pm_fp
-    os.makedirs(tr, exist_ok=True)
     masks = {}
     for i in range(n):
         r = np.random.RandomState(i)

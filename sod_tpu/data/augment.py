@@ -250,6 +250,18 @@ def normalize(img: np.ndarray) -> np.ndarray:
     return ((img.astype(np.float32) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def normalize_device(u8):
+    """Device-side twin of :func:`normalize` for uint8-shipped images —
+    identical fp32 math, jit-traceable.  The ONE definition shared by the
+    train step, the serving prep, and the canvas evaluator (uint8
+    shipping cuts host->device transfer 4x; consistency across the three
+    consumers is load-bearing for train/serve/eval parity)."""
+    import jax.numpy as jnp
+
+    return ((u8.astype(jnp.float32) / 255.0
+             - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD))
+
+
 def denormalize(img: np.ndarray) -> np.ndarray:
     """Inverse of ``normalize`` -> uint8 (ref base_dataset.py:38-55)."""
     out = (img * IMAGENET_STD + IMAGENET_MEAN) * 255.0

@@ -154,16 +154,21 @@ class DataLoader:
                 import multiprocessing as mp
                 from concurrent.futures import ProcessPoolExecutor
 
-                # fork: workers inherit the (picklable-anyway) dataset
-                # without re-import; they only run NumPy/PIL, never JAX
+                # the dataset is shipped ONCE per worker via the pool
+                # initializer (a worker-global), NOT per sample —
+                # pool.map pickles its arguments on every call, so
+                # mapping (dataset, i) tuples would re-serialize the
+                # multi-MB dataset (pseudo-mask RLE dict included) for
+                # every single index; workers only run NumPy/PIL,
+                # never JAX
                 return ProcessPoolExecutor(
-                    self.num_workers, mp_context=mp.get_context("fork"))
+                    self.num_workers, mp_context=mp.get_context("fork"),
+                    initializer=_init_worker, initargs=(self.dataset,))
             return ThreadPoolExecutor(self.num_workers)
 
         def fetch(pool, idxs):
             if self.use_processes:
-                return pool.map(_getitem, ((self.dataset, int(i))
-                                           for i in idxs))
+                return pool.map(_getitem_worker, [int(i) for i in idxs])
             return pool.map(self.dataset.__getitem__, idxs)
 
         def produce():
@@ -197,10 +202,21 @@ class DataLoader:
             stop.set()
 
 
-def _getitem(args):
-    """Module-level picklable fetch for process workers."""
-    dataset, i = args
-    return dataset[i]
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    """Process-pool initializer: receives the dataset exactly once per
+    worker (pickled through initargs, or inherited for free under the
+    fork start method) and stashes it as a worker-global."""
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _getitem_worker(i):
+    """Module-level picklable fetch: only the integer index crosses the
+    process pipe per sample."""
+    return _WORKER_DATASET[i]
 
 
 _END = object()

@@ -55,7 +55,11 @@ def _ceil_to(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(x_ref, ln_s, ln_b, wqkv, bqkv, wproj, bproj, o_ref, *,
-                n_heads: int, n_real: int, eps: float, scale: float):
+                n_heads: int, n_real: int, eps: float, scale: float,
+                qkv_ref=None):
+    """Forward for one image.  ``qkv_ref`` (save-acts variant, wired by
+    ``_fwd_kernel_save``) additionally streams the post-bias qkv (bf16)
+    to HBM so the backward can skip its recompute matmul."""
     x = x_ref[0].astype(jnp.float32)                       # [N, D]
     n, d = x.shape
     hd = d // n_heads
@@ -67,6 +71,8 @@ def _fwd_kernel(x_ref, ln_s, ln_b, wqkv, bqkv, wproj, bproj, o_ref, *,
          + ln_b[0].astype(jnp.float32)).astype(jnp.bfloat16)
     qkv = jnp.dot(h, wqkv[:], preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv[0].astype(jnp.float32)).astype(jnp.bfloat16)
+    if qkv_ref is not None:
+        qkv_ref[0] = qkv
 
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     key_ok = col < n_real
@@ -92,41 +98,9 @@ def _fwd_kernel(x_ref, ln_s, ln_b, wqkv, bqkv, wproj, bproj, o_ref, *,
 def _fwd_kernel_save(x_ref, ln_s, ln_b, wqkv, bqkv, wproj, bproj, o_ref,
                      qkv_ref, *, n_heads: int, n_real: int, eps: float,
                      scale: float):
-    """Forward that additionally streams the post-bias qkv (bf16) to HBM
-    so the backward can skip the [N, D] x [D, 3D] recompute matmul — the
-    write hides under the MXU work, the removed matmul was serial."""
-    x = x_ref[0].astype(jnp.float32)                       # [N, D]
-    n, d = x.shape
-    hd = d // n_heads
-
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    h = ((x - mean) * jax.lax.rsqrt(var + eps)
-         * ln_s[0].astype(jnp.float32)
-         + ln_b[0].astype(jnp.float32)).astype(jnp.bfloat16)
-    qkv = jnp.dot(h, wqkv[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv[0].astype(jnp.float32)).astype(jnp.bfloat16)
-    qkv_ref[0] = qkv
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    key_ok = col < n_real
-    heads = []
-    for i in range(n_heads):                               # static unroll
-        q = qkv[:, i * hd:(i + 1) * hd]
-        k = qkv[:, d + i * hd:d + (i + 1) * hd]
-        v = qkv[:, 2 * d + i * hd:2 * d + (i + 1) * hd]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = jnp.where(key_ok, s, -1e30)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        heads.append(jnp.dot(p.astype(jnp.bfloat16), v,
-                             preferred_element_type=jnp.float32)
-                     .astype(jnp.bfloat16))
-    attn = jnp.concatenate(heads, axis=1)                  # [N, D]
-    y = jnp.dot(attn, wproj[:], preferred_element_type=jnp.float32)
-    o_ref[0] = (x + y + bproj[0].astype(jnp.float32)).astype(o_ref.dtype)
+    _fwd_kernel(x_ref, ln_s, ln_b, wqkv, bqkv, wproj, bproj, o_ref,
+                n_heads=n_heads, n_real=n_real, eps=eps, scale=scale,
+                qkv_ref=qkv_ref)
 
 
 def _fwd_pallas(x, weights, n_heads, n_real, eps, scale,
@@ -672,7 +646,12 @@ def fused_ln_attn(x: jax.Array, attn_params: dict, ln_params: dict,
     n_pad = _ceil_to(n, 128)
     weights = _prep_weights(attn_params, ln_params)
     if not (_available() and n_pad <= _MAX_N and d <= _MAX_D):
-        return _core(x, *weights, n_heads, eps, n, False)
+        # beyond the kernel's VMEM caps (or off-TPU): the XLA twin,
+        # differentiated by autodiff.  MUST bypass _core here — _core
+        # re-checks only _available(), so on TPU it would re-enter the
+        # Pallas kernel at exactly the shapes this guard excludes
+        # (unpadded N, oversized score slabs).
+        return _reference_forward(x, *weights, n_heads, eps, n_real=n)
     xp = x
     if n_pad != n:
         xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))

@@ -103,6 +103,8 @@ class MicroBatcher:
 
         self._pool = ThreadPoolExecutor(max_workers=max(1, dispatch_workers),
                                         thread_name_prefix="microbatch")
+        self._in_flight = 0                    # dispatched, not yet done
+        self._in_flight_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -111,6 +113,8 @@ class MicroBatcher:
         """Blocking: returns (mask [H, W], objectness [Q]) for one resized
         uint8 [H, W, 3] image (ImageNet normalization runs on device —
         4x less host->device traffic than shipping normalized float32)."""
+        if self._stop.is_set():
+            raise RuntimeError("MicroBatcher is closed")
         p = _Pending(arr)
         self._q.put(p)
         p.event.wait()
@@ -124,6 +128,19 @@ class MicroBatcher:
         self._q.put(None)           # wake the dispatcher
         self._thread.join(timeout=2.0)
         self._pool.shutdown(wait=False)
+        # fail any request that raced close() into the queue — leaving it
+        # unanswered would block its caller thread forever
+        self._fail_queued(RuntimeError("MicroBatcher closed"))
+
+    def _fail_queued(self, err: BaseException) -> None:
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if p is not None:
+                p.error = err
+                p.event.set()
 
     # ------------------------------------------------------------------
     def _bucket(self, n: int) -> int:
@@ -139,19 +156,47 @@ class MicroBatcher:
             if first is None:
                 continue
             group: List[_Pending] = [first]
-            deadline = time.perf_counter() + self.max_wait
+            # drain co-arrived requests without blocking
             while len(group) < max_b:
-                remaining = deadline - time.perf_counter()
-                if remaining <= 0:
-                    break
                 try:
-                    nxt = self._q.get(timeout=remaining)
+                    nxt = self._q.get_nowait()
                 except queue.Empty:
                     break
                 if nxt is None:
                     break
                 group.append(nxt)
-            self._pool.submit(self._dispatch_group, group)
+            # bounded wait for MORE peers only when it costs nothing:
+            # either the batch already has peers to amortize over, or
+            # dispatches are in flight (the device is busy, so results
+            # could not come back sooner anyway).  A lone request on an
+            # idle device dispatches immediately — the docstring's
+            # "~zero added latency" contract.
+            with self._in_flight_lock:
+                busy = self._in_flight > 0
+            if len(group) < max_b and (len(group) > 1 or busy):
+                deadline = time.perf_counter() + self.max_wait
+                while len(group) < max_b:
+                    remaining = deadline - time.perf_counter()
+                    if remaining <= 0:
+                        break
+                    try:
+                        nxt = self._q.get(timeout=remaining)
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        break
+                    group.append(nxt)
+            with self._in_flight_lock:
+                self._in_flight += 1
+            try:
+                self._pool.submit(self._dispatch_group, group)
+            except RuntimeError as e:    # pool shut down mid-close
+                with self._in_flight_lock:
+                    self._in_flight -= 1
+                for p in group:
+                    p.error = e
+                    p.event.set()
+        self._fail_queued(RuntimeError("MicroBatcher closed"))
 
     def _dispatch_group(self, group: List[_Pending]) -> None:
         try:
@@ -173,6 +218,9 @@ class MicroBatcher:
             for p in group:
                 p.error = e
                 p.event.set()
+        finally:
+            with self._in_flight_lock:
+                self._in_flight -= 1
 
 
 class SelfMaskInference:
@@ -206,16 +254,14 @@ class SelfMaskInference:
                                       best[:, None, None, None], axis=1)[:, 0]
             return sel.astype(jnp.float32), obj.astype(jnp.float32)
 
-        from sod_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+        from sod_tpu.data.augment import normalize_device
 
         @jax.jit
         def prep(u8):
             # on-device ImageNet normalize: predict ships resized uint8
             # (602 KB -> 150 KB per image), bit-identical fp32 math to the
             # host ``normalize`` (ref preprocess app.py:198-205)
-            x = ((u8.astype(jnp.float32) / 255.0
-                  - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD))
-            return x.astype(compute)
+            return normalize_device(u8).astype(compute)
 
         self._forward = forward
         self._prep = prep

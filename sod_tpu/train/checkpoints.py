@@ -26,23 +26,29 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None,
 
     Multi-host: only process 0 writes (params/opt state are replicated
     under the data-parallel mesh, so its local copy is the full state;
-    every other process would race it on a shared filesystem).  The
-    reference has no multi-process story at all (SURVEY §2 parallelism
-    table) — this is the DCN-side discipline that replaces it.
+    every other process would race it on a shared filesystem), and ALL
+    processes synchronize on a barrier after the write — without it,
+    processes 1..n would return instantly and could restore a partial
+    checkpoint that process 0 is still serializing.  The reference has
+    no multi-process story at all (SURVEY §2 parallelism table) — this
+    is the DCN-side discipline that replaces it.
     """
-    if jax.process_index() != 0:
-        return
-    path = os.path.abspath(path)
-    payload = {
-        "params": jax.device_get(params),
-        "epoch": epoch,
-        "n_iters": n_iters,
-    }
-    if opt_state is not None:
-        payload["opt_state"] = jax.device_get(opt_state)
-    if extra:
-        payload["extra"] = extra
-    _checkpointer().save(path, payload, force=True)
+    if jax.process_index() == 0:
+        path = os.path.abspath(path)
+        payload = {
+            "params": jax.device_get(params),
+            "epoch": epoch,
+            "n_iters": n_iters,
+        }
+        if opt_state is not None:
+            payload["opt_state"] = jax.device_get(opt_state)
+        if extra:
+            payload["extra"] = extra
+        _checkpointer().save(path, payload, force=True)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("sod_tpu_ckpt_save")
 
 
 def restore_checkpoint(path: str, template: Optional[Any] = None) -> Dict:

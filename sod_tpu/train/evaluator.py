@@ -42,11 +42,6 @@ from sod_tpu.models.maskformer import (
 from sod_tpu.models.vit import pos_embed_canvas_device
 from sod_tpu.ops.resize import _resize_matrix, interpolate_bilinear
 
-from sod_tpu.data.augment import (  # single source of truth
-    IMAGENET_MEAN as _IMAGENET_MEAN,
-    IMAGENET_STD as _IMAGENET_STD,
-)
-
 _METRICS = ("f_measure", "f_max", "f_mean", "mae", "iou", "pixel_acc",
             "s_measure")
 
@@ -166,14 +161,13 @@ class Evaluator:
         gh_c, gw_c = canvas_hw[0] // p, canvas_hw[1] // p
         compute_dtype = (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
                          else jnp.float32)
-        mean = jnp.asarray(_IMAGENET_MEAN)
-        std = jnp.asarray(_IMAGENET_STD)
+        from sod_tpu.data.augment import normalize_device
 
         @jax.jit
         def step(params, image_u8, gt_u8, grid_sizes, sizes):
             # device-side ImageNet normalization of the uint8 canvas (the
             # host ships 4x less data; identical values)
-            image = (image_u8.astype(jnp.float32) / 255.0 - mean) / std
+            image = normalize_device(image_u8)
             gt = gt_u8.astype(jnp.float32)
 
             # token validity + per-image pos-embed computed on device

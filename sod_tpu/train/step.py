@@ -51,10 +51,9 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
             # uint8-shipped batch (loader ``train_u8`` mode): ImageNet
             # normalization happens HERE on device — identical math to
             # the host ``augment.normalize``, 4x less transfer
-            from sod_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+            from sod_tpu.data.augment import normalize_device
 
-            x = ((x.astype(jnp.float32) / 255.0
-                  - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD))
+            x = normalize_device(x)
         x = x.astype(compute_dtype)
         out = maskformer_apply(params, x, mcfg, train=True)
         # resnet encoder: EMA-updated BatchNorm buffers to merge back into

@@ -222,3 +222,25 @@ def test_loader_iteration(duts_root):
     names1 = [n for b in loader for n in b["filename"]]
     assert names0 == names0b
     assert names0 != names1
+
+
+def test_loader_process_workers_match_thread_workers(duts_root):
+    """use_processes=True (fork pool, dataset shipped once per worker via
+    the initializer — never per sample) yields the same batches as the
+    thread path."""
+    root, fp = duts_root
+    ds = DUTSDataset(str(root / "DUTS"), img_size=224, use_pseudo_masks=True,
+                     pseudo_masks_fp=fp)
+    ds.set_mode("train")
+    mk = lambda procs: DataLoader(
+        ds, batch_size=4, shuffle=True, num_workers=2, use_processes=procs,
+        collate_fn=lambda s: collate_train(s, 4, 4))
+    lt, lp = mk(False), mk(True)
+    lt.set_epoch(0)
+    lp.set_epoch(0)
+    bt, bp = list(lt), list(lp)
+    assert len(bt) == len(bp) == 2
+    for a, b in zip(bt, bp):
+        assert list(a["filename"]) == list(b["filename"])
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["gt_masks"], b["gt_masks"])

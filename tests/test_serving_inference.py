@@ -189,6 +189,24 @@ def test_micro_batcher_coalesces_and_is_correct():
         svc._batcher.close()
 
 
+def test_micro_batcher_closed_submit_raises():
+    """submit() after close() must fail fast, and requests racing close
+    into the queue are failed rather than stranded (their caller thread
+    would otherwise block forever)."""
+    svc = _tiny_inference()
+    from sod_tpu.serving.inference import MicroBatcher, _Pending
+
+    b = MicroBatcher(svc, buckets=(1,), max_wait_ms=1.0)
+    b.close()
+    with pytest.raises(RuntimeError):
+        b.submit(np.zeros((32, 32, 3), np.uint8))
+    # a pending that raced into the queue around close() gets failed too
+    p = _Pending(np.zeros((32, 32, 3), np.uint8))
+    b._q.put(p)
+    b._fail_queued(RuntimeError("closed"))
+    assert p.event.is_set() and isinstance(p.error, RuntimeError)
+
+
 def test_micro_batcher_error_propagates():
     svc = _tiny_inference()
     from sod_tpu.serving.inference import MicroBatcher
