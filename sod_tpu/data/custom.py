@@ -34,14 +34,14 @@ class CustomDataset:
                 img = resize_pil(img, (self.image_size, self.image_size),
                                  "bilinear")
             else:
-                # torchvision Resize(int): shorter edge -> image_size
+                # torchvision Resize(int): shorter edge -> image_size,
+                # long edge TRUNCATED like the reference (int(), not
+                # round() — ops/resize.resize_shorter_edge doc)
+                from sod_tpu.ops.resize import resize_shorter_edge
+
                 w, h = img.size
-                if h <= w:
-                    size = (self.image_size,
-                            max(1, round(w * self.image_size / h)))
-                else:
-                    size = (max(1, round(h * self.image_size / w)),
-                            self.image_size)
-                img = resize_pil(img, size, "bilinear")
+                img = resize_pil(img, resize_shorter_edge((h, w),
+                                                          self.image_size),
+                                 "bilinear")
         return {"image": normalize(np.asarray(img, np.float32)),
                 "filename": os.path.basename(p), "p_img": p}

@@ -7,6 +7,7 @@ here with the same directory conventions documented.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 
@@ -41,8 +42,15 @@ def get_dataset(
         ds = ECSSDDataset(f"{dir_dataset}/ECSSD", img_size=eval_img_size or 128)
     elif dataset_name == "dut_omron":
         assert mode == "test", "dut_omron dataset is only for test."
-        ds = DUTOMRONDataset(f"{dir_dataset}/DUTS-OMRON",
-                             img_size=eval_img_size or 128)
+        # reference quirk: its factory points at "DUTS-OMRON" (sic —
+        # ``utils/misc.py:104``), not the dataset's official "DUT-OMRON"
+        # name.  We keep the quirk path first for parity and fall back to
+        # the official layout so a standard unpack isn't silently skipped.
+        quirk = f"{dir_dataset}/DUTS-OMRON"
+        official = f"{dir_dataset}/DUT-OMRON"
+        root = quirk if os.path.isdir(quirk) or not os.path.isdir(official) \
+            else official
+        ds = DUTOMRONDataset(root, img_size=eval_img_size or 128)
     elif dataset_name in ("cub2011", "flowers102", "hku_is", "sod",
                           "imagenet1k"):
         raise NotImplementedError(

@@ -126,7 +126,14 @@ class DataLoader:
         if self.shard_by_process:
             import jax
 
-            order = order[jax.process_index()::jax.process_count()]
+            pc = jax.process_count()
+            if pc > 1 and n % pc:
+                # pad by wrap-around so every process sees the SAME number
+                # of samples (and therefore batches) — unequal batch
+                # counts would deadlock multi-host collectives at epoch
+                # end (torch DistributedSampler pads the same way)
+                order = np.concatenate([order, order[: pc - n % pc]])
+            order = order[jax.process_index()::pc]
             n = len(order)
         batches = [order[i:i + self.batch_size]
                    for i in range(0, n, self.batch_size)]

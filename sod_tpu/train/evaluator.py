@@ -81,7 +81,11 @@ class Evaluator:
         self.cfg = cfg
         self.mcfg = mcfg or config_from(cfg)
         self.dir_dataset = dir_dataset or cfg.dir_dataset
-        assert os.path.isdir(self.dir_dataset), self.dir_dataset
+        # ref evaluator pyc asserts the dataset dir exists; raise a real
+        # error (an assert would vanish under python -O and callers catch
+        # FileNotFoundError to skip eval)
+        if not os.path.isdir(self.dir_dataset):
+            raise FileNotFoundError(self.dir_dataset)
         self.visualizer = visualizer
         self.debug = debug
         self.batch_size = batch_size

@@ -141,6 +141,14 @@ def make_eval_step(cfg: Config,
 
     @jax.jit
     def eval_step(params, image):
+        if image.dtype == jnp.uint8:
+            # uint8-shipped batch (train_ship_uint8 / canvas shipping):
+            # same device-side normalize as the train step — without it
+            # the trainer's visualization path would run the model on
+            # raw 0-255 pixels
+            from sod_tpu.data.augment import normalize_device
+
+            image = normalize_device(image)
         out = maskformer_apply(params, image.astype(compute_dtype), mcfg,
                                fused=True)
         mask_pred = out["mask_pred"][:, -1].astype(jnp.float32)   # [B, Q, h, w]

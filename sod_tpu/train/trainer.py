@@ -63,6 +63,10 @@ class Trainer:
         # host->device traffic; matches the reference's uint8 PIL pipeline
         # more closely than the float chain — see duts.py)
         self.dataset.train_u8 = getattr(cfg, "train_ship_uint8", True)
+        # augmentation draws key off [dataset.seed, epoch, index]
+        # (data/base.py sample_rng) — without this, runs with different
+        # cfg.seed would share byte-identical augmentation streams
+        self.dataset.seed = cfg.seed
 
         if params is None:
             params = maskformer_init(jax.random.key(cfg.seed), self.mcfg)
@@ -158,6 +162,11 @@ class Trainer:
         from sod_tpu.utils.profiling import StepTimer
 
         timer = StepTimer()
+        # per-step metric dicts stay on device; ONE fetch at epoch end —
+        # a per-iteration device_get forces a host<->device round trip
+        # every step (a full tunnel RTT on this box) and serializes
+        # dispatch that would otherwise pipeline
+        step_metrics: list = []
         for it, batch in enumerate(loader):
             timer.tick()
             arrays = {k: v for k, v in batch.items() if k != "filename"}
@@ -166,9 +175,7 @@ class Trainer:
             self.params, self.opt_state, metrics = self.train_step(
                 self.params, self.opt_state, arrays)
             self.n_iters_done += 1
-            host = jax.device_get(metrics)
-            for k, m in meters.items():
-                m.update(float(host[k]), 1)
+            step_metrics.append(metrics)
             if self.visualizer is not None and it % max(
                     1, len(loader) // 10) == 0:
                 # render the current model's predictions on this batch
@@ -184,6 +191,9 @@ class Trainer:
             if self.debug:
                 break
 
+        for host in jax.device_get(step_metrics):
+            for k, m in meters.items():
+                m.update(float(host[k]), 1)
         epoch_metrics = {f"avg_{k}": m.avg for k, m in meters.items()}
         epoch_metrics["epoch"] = num_epoch
         epoch_metrics["images_per_second"] = timer.images_per_second(
@@ -200,8 +210,16 @@ class Trainer:
     def _evaluate(self, num_epoch: int) -> Dict[str, float]:
         """Per-benchmark eval + best-IoU checkpointing (pyc 190-228)."""
         if self.evaluator is None:
-            self.evaluator = Evaluator(self.params, self.cfg, self.mcfg,
-                                       debug=self.debug)
+            try:
+                self.evaluator = Evaluator(self.params, self.cfg, self.mcfg,
+                                           debug=self.debug)
+            except (AssertionError, FileNotFoundError) as e:
+                # Evaluator.__init__ asserts cfg.dir_dataset exists —
+                # a synthetic/pseudo-mask run without benchmark datasets
+                # on disk must skip eval, not abort training (the same
+                # contract as the per-benchmark skip below)
+                self.logger.log({"eval_skipped": "all", "reason": str(e)})
+                return {}
         self.evaluator.params = self.params
         all_metrics: Dict[str, float] = {}
         for name in self.benchmarks:

@@ -28,14 +28,15 @@ def _patched(monkeypatch, index, count):
     monkeypatch.setattr(jax, "process_count", lambda: count)
 
 
-def test_loader_strides_disjoint_cover(monkeypatch):
-    """Across all processes the sharded iteration covers every index
-    exactly once, with per-process lengths matching ``len(loader)``
-    (``sod_tpu/data/loader.py:102,115``)."""
+def test_loader_strides_equal_cover(monkeypatch):
+    """Across all processes the sharded iteration covers every index, and
+    every process sees the SAME sample/batch counts — n is wrap-padded to
+    a process_count multiple (torch DistributedSampler semantics; unequal
+    batch counts would deadlock multi-host collectives at epoch end)."""
     from sod_tpu.data.loader import DataLoader
 
-    n, count = 23, 3
-    seen = []
+    n, count = 23, 3                    # pads 23 -> 24, 8 samples each
+    seen, lengths = [], []
     for index in range(count):
         _patched(monkeypatch, index, count)
         loader = DataLoader(_ListDataset(n), batch_size=4, shuffle=False,
@@ -43,15 +44,18 @@ def test_loader_strides_disjoint_cover(monkeypatch):
         batches = list(loader)
         got = [x for b in batches for x in b]
         assert len(batches) == len(loader)
-        # this process's shard is the stride-count slice
-        assert got == list(range(index, n, count))
+        lengths.append((len(got), len(batches)))
         seen.extend(got)
-    assert sorted(seen) == list(range(n))
+    # equal work per process
+    assert len(set(lengths)) == 1
+    # full cover; only the wrap-pad duplicates (< count of them)
+    assert set(seen) == set(range(n))
+    assert len(seen) - n < count
 
 
 def test_loader_strides_shuffled_cover(monkeypatch):
-    """Shuffled epochs still cover disjointly: every process shuffles with
-    the same (seed, epoch) stream then takes its stride slice."""
+    """Shuffled epochs still cover: every process shuffles with the same
+    (seed, epoch) stream then takes its stride of the padded order."""
     from sod_tpu.data.loader import DataLoader
 
     n, count = 17, 2
@@ -62,7 +66,8 @@ def test_loader_strides_shuffled_cover(monkeypatch):
                             num_workers=1, seed=7, shard_by_process=True)
         loader.set_epoch(3)
         seen.extend(x for b in loader for x in b)
-    assert sorted(seen) == list(range(n))
+    assert set(seen) == set(range(n))
+    assert len(seen) - n < count        # wrap-pad duplicates only
 
 
 def test_loader_drop_last_under_sharding(monkeypatch):
