@@ -45,6 +45,18 @@ def _allowed_file(filename: str) -> bool:
             and filename.rsplit(".", 1)[1].lower() in ALLOWED_EXTENSIONS)
 
 
+def _form_data(req) -> dict:
+    """JSON body (object) or form fields.  A truthy NON-dict JSON body
+    (``[1]``, ``"x"``, ``5``) must 400, not AttributeError-500 at the
+    first ``.get``."""
+    data = req.get_json()
+    if not data:
+        return req.form
+    if not isinstance(data, dict):
+        raise HTTPError(400, "JSON body must be an object")
+    return data
+
+
 def _dominant_color(data: bytes) -> str:
     """ref ``app.py:2816-2829``: trivial dominant-color analysis stored as
     the upload's "result"."""
@@ -191,7 +203,7 @@ def create_app(cfg=None, model_path: Optional[str] = None,
     # ======================================================================
     @app.route("/user_signup", methods=["POST"])
     def user_signup(req: Request):
-        data = req.get_json() or req.form
+        data = _form_data(req)
         name = data.get("name", "").strip()
         email = data.get("email", "").strip().lower()
         password = data.get("password", "")
@@ -204,9 +216,14 @@ def create_app(cfg=None, model_path: Optional[str] = None,
         token = tokens.create_signup(name, email, hash_password(password),
                                      phone)
         link = f"/verify_signup/{token}"
+        # the EMAIL needs an absolute URL (a mail client can't resolve a
+        # bare path — ref uses url_for(..., _external=True)); the JSON
+        # keeps the path for same-origin frontend use
+        abs_link = f"{req.host_url}{link}"
         emailer.send(email, "Verify your SOD account",
                      f"<p>Hi {name}, verify your account: "
-                     f"<a href='{link}'>{link}</a> (valid 10 minutes)</p>")
+                     f"<a href='{abs_link}'>{abs_link}</a> "
+                     f"(valid 10 minutes)</p>")
         return jsonify({"success": True,
                         "message": "Verification email sent",
                         "verify_url": link})
@@ -216,6 +233,12 @@ def create_app(cfg=None, model_path: Optional[str] = None,
         data = tokens.pop_signup(token)
         if data is None:
             raise HTTPError(400, "Invalid or expired verification link")
+        # double-submitted signup forms yield TWO valid tokens for one
+        # address; the second INSERT would hit UNIQUE(Email) and 500 —
+        # re-check here for a controlled message
+        if db.query_one("SELECT User_ID FROM user_management WHERE Email=%s",
+                        (data["email"],)):
+            raise HTTPError(400, "Email already registered")
         # timestamps are set explicitly: tables migrated from round 1 have
         # the columns WITHOUT a default (sqlite ALTER ADD cannot carry a
         # non-constant default), so relying on DEFAULT CURRENT_TIMESTAMP
@@ -231,7 +254,7 @@ def create_app(cfg=None, model_path: Optional[str] = None,
 
     @app.route("/user_login", methods=["POST"])
     def user_login(req: Request):
-        data = req.get_json() or req.form
+        data = _form_data(req)
         email = data.get("email", "").strip().lower()
         password = data.get("password", "")
         row = db.query_one(
@@ -260,7 +283,7 @@ def create_app(cfg=None, model_path: Optional[str] = None,
             raise HTTPError(403, "Admin login disabled: set "
                                  "SOD_ADMIN_PASSWORD (or "
                                  "SOD_ALLOW_DEFAULT_ADMIN=1 for dev)")
-        data = req.get_json() or req.form
+        data = _form_data(req)
         email = data.get("email", "").strip().lower()
         password = data.get("password", "")
         expect_email = os.environ.get("SOD_ADMIN_EMAIL", "a@gmail.com")
@@ -289,7 +312,7 @@ def create_app(cfg=None, model_path: Optional[str] = None,
     # --- OTP password reset (ref app.py:1035-1141) -------------------------
     @app.route("/forgot_password", methods=["POST"])
     def forgot_password(req: Request):
-        data = req.get_json() or req.form
+        data = _form_data(req)
         email = data.get("email", "").strip().lower()
         if not db.query_one(
                 "SELECT User_ID FROM user_management WHERE Email=%s",
@@ -302,7 +325,7 @@ def create_app(cfg=None, model_path: Optional[str] = None,
 
     @app.route("/verify_otp", methods=["POST"])
     def verify_otp(req: Request):
-        data = req.get_json() or req.form
+        data = _form_data(req)
         ok = tokens.verify_otp(data.get("email", "").lower(),
                                data.get("otp", ""))
         if not ok:
@@ -311,7 +334,7 @@ def create_app(cfg=None, model_path: Optional[str] = None,
 
     @app.route("/reset_password", methods=["POST"])
     def reset_password(req: Request):
-        data = req.get_json() or req.form
+        data = _form_data(req)
         email = data.get("email", "").lower()
         if not tokens.verify_otp(email, data.get("otp", "")):
             raise HTTPError(400, "Invalid or expired OTP")
@@ -332,7 +355,10 @@ def create_app(cfg=None, model_path: Optional[str] = None,
 
     def _check_quota(user_id: int):
         """Free tier: 3 uploads; else active subscription with remaining
-        upload budget (-1 / NULL = unlimited) (ref app.py:2846-2915)."""
+        upload budget (-1 / NULL = unlimited) (ref app.py:2846-2915).
+        A subscription whose upload budget is exhausted is marked
+        ``expired`` like the reference (app.py:2900-2916) so Status-based
+        analytics stop counting it as active."""
         sub = _active_subscription(user_id)
         if sub is None:
             used = db.scalar("SELECT COUNT(*) FROM image WHERE user_id=%s",
@@ -343,8 +369,17 @@ def create_app(cfg=None, model_path: Optional[str] = None,
             return None
         limit = sub["Upload_Limit"]
         if limit is not None and limit >= 0 and sub["Uploads_Used"] >= limit:
+            db.execute("UPDATE subscription SET Status='Expired' "
+                       "WHERE Subscription_ID=%s", (sub["Subscription_ID"],))
             raise HTTPError(403, "Subscription upload limit reached")
         return sub
+
+    # quota check + insert must be one critical section: concurrent
+    # uploads all reading COUNT(*) before any insert commits would let a
+    # free user blow past the 3-upload limit (check-then-act race)
+    import threading as _threading
+
+    quota_lock = _threading.Lock()
 
     @app.route("/save_image_info", methods=["POST"])
     @login_required
@@ -357,23 +392,29 @@ def create_app(cfg=None, model_path: Optional[str] = None,
             raise HTTPError(400, "File type not allowed")
         if len(up.data) > MAX_CONTENT_LENGTH:
             raise HTTPError(413, "File too large (max 50 MB)")
-        sub = _check_quota(user_id)
+        with quota_lock:
+            sub = _check_quota(user_id)
 
-        fname = f"{int(time.time())}_{os.path.basename(up.filename)}"
-        up.save(os.path.join(upload_dir, "temp", fname))
-        ext = up.filename.rsplit(".", 1)[1].lower()
-        image_id = db.execute(
-            "INSERT INTO image (uploaded_image, file_type, file_size, "
-            "user_id, uploaded_at) VALUES (%s, %s, %s, %s, datetime('now'))",
-            (fname, ext, len(up.data) // 1024, user_id))
-        result = (f"Dominant Color: {_dominant_color(up.data)}, "
-                  f"Type: {ext}, Size: {len(up.data) / 1024:.2f} KB")
-        db.execute("INSERT INTO result (Result_data, Image_ID, User_ID, "
-                   "processed_at) VALUES (%s, %s, %s, datetime('now'))",
-                   (result, image_id, user_id))
-        if sub is not None:
-            db.execute("UPDATE subscription SET Uploads_Used=Uploads_Used+1 "
-                       "WHERE Subscription_ID=%s", (sub["Subscription_ID"],))
+            # token suffix: same-second same-name uploads (across users)
+            # must not overwrite each other's file on disk
+            fname = (f"{int(time.time())}_{secrets.token_hex(4)}_"
+                     f"{os.path.basename(up.filename)}")
+            up.save(os.path.join(upload_dir, "temp", fname))
+            ext = up.filename.rsplit(".", 1)[1].lower()
+            image_id = db.execute(
+                "INSERT INTO image (uploaded_image, file_type, file_size, "
+                "user_id, uploaded_at) VALUES (%s, %s, %s, %s, "
+                "datetime('now'))",
+                (fname, ext, len(up.data) // 1024, user_id))
+            result = (f"Dominant Color: {_dominant_color(up.data)}, "
+                      f"Type: {ext}, Size: {len(up.data) / 1024:.2f} KB")
+            db.execute("INSERT INTO result (Result_data, Image_ID, User_ID, "
+                       "processed_at) VALUES (%s, %s, %s, datetime('now'))",
+                       (result, image_id, user_id))
+            if sub is not None:
+                db.execute(
+                    "UPDATE subscription SET Uploads_Used=Uploads_Used+1 "
+                    "WHERE Subscription_ID=%s", (sub["Subscription_ID"],))
         return jsonify({"success": True, "image_id": image_id,
                         "filename": fname, "result": result})
 
@@ -416,7 +457,7 @@ def create_app(cfg=None, model_path: Optional[str] = None,
     @app.route("/create-checkout-session", methods=["POST"])
     @login_required
     def create_checkout(req: Request):
-        data = req.get_json() or req.form
+        data = _form_data(req)
         plan = (data.get("plan") or "").lower()
         if plan not in PLANS:
             raise HTTPError(400, f"Unknown plan: {plan}")
@@ -497,7 +538,7 @@ def create_app(cfg=None, model_path: Optional[str] = None,
         (``Feedback_Type``/``rating``/``Feedback_Text``/``result_id``) and
         the simpler type/text JSON shape; 'result'-type feedback resolves
         and validates the user's Result_ID."""
-        data = req.get_json() or req.form
+        data = _form_data(req)
         user_id = req.session["user_id"]
         ftype = (data.get("Feedback_Type") or data.get("type")
                  or "general").strip().lower()
@@ -511,6 +552,9 @@ def create_app(cfg=None, model_path: Optional[str] = None,
         if not 1 <= rating <= 5:
             raise HTTPError(400, "Rating must be between 1 and 5")
         text = data.get("Feedback_Text") or data.get("text") or ""
+        if not text.strip():
+            # ref app.py:2685 rejects missing fields outright
+            raise HTTPError(400, "All fields are required")
         result_id = data.get("result_id")
         if ftype == "result":
             if not result_id:   # most recent result (ref app.py:2705-2718)

@@ -60,6 +60,7 @@ class TokenStore:
     def __init__(self):
         self.pending_signups: Dict[str, Dict] = {}
         self.otps: Dict[str, Tuple[str, float]] = {}
+        self.otp_attempts: Dict[str, int] = {}
 
     # --- signup verification ----------------------------------------------
     def create_signup(self, name: str, email: str, password_hash: str,
@@ -84,9 +85,15 @@ class TokenStore:
         return data
 
     # --- OTP ----------------------------------------------------------------
+    #: wrong-guess budget per OTP: a 6-digit code with unlimited tries is
+    #: a brute-force oracle over its whole TTL (10^6 guesses in minutes at
+    #: HTTP rates); 5 tries keeps the success probability at 5e-6
+    OTP_MAX_ATTEMPTS = 5
+
     def create_otp(self, email: str) -> str:
         otp = f"{secrets.randbelow(1000000):06d}"
         self.otps[email] = (otp, time.time() + OTP_TTL_SECONDS)
+        self.otp_attempts[email] = 0
         return otp
 
     def verify_otp(self, email: str, otp: str) -> bool:
@@ -96,8 +103,17 @@ class TokenStore:
         value, expires = stored
         if expires < time.time():
             self.otps.pop(email, None)
+            self.otp_attempts.pop(email, None)
             return False
-        return secrets.compare_digest(value, otp)
+        ok = secrets.compare_digest(value, otp)
+        if not ok:
+            self.otp_attempts[email] = self.otp_attempts.get(email, 0) + 1
+            if self.otp_attempts[email] >= self.OTP_MAX_ATTEMPTS:
+                # burn the code: the caller must request a fresh OTP
+                self.otps.pop(email, None)
+                self.otp_attempts.pop(email, None)
+        return ok
 
     def consume_otp(self, email: str) -> None:
         self.otps.pop(email, None)
+        self.otp_attempts.pop(email, None)

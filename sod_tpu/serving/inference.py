@@ -117,6 +117,12 @@ class MicroBatcher:
             raise RuntimeError("MicroBatcher is closed")
         p = _Pending(arr)
         self._q.put(p)
+        # close() may have set _stop between the check above and the put:
+        # its drain can have already run, leaving p stranded — re-check
+        # AFTER the put and self-drain (idempotent; pendings the
+        # dispatcher already took get answered by it either way)
+        if self._stop.is_set():
+            self._fail_queued(RuntimeError("MicroBatcher closed"))
         p.event.wait()
         if p.error is not None:
             raise p.error
@@ -233,6 +239,18 @@ class SelfMaskInference:
 
             cfg = load_config(config_path) if config_path else Config()
         self.cfg = cfg
+        if not cfg.use_binary_classifier:
+            # the /predict selection (argmax last-layer objectness, ref
+            # app.py:267-277) REQUIRES the objectness head; the reference
+            # forward omits "objectness" for non-bc models so its own app
+            # would KeyError too.  Fail with a clear message at
+            # construction instead of a KeyError at warmup that degrades
+            # serving to "model unavailable" with no explanation.
+            raise ValueError(
+                "serving requires use_binary_classifier=True (the "
+                "/predict path selects by objectness, ref app.py:267-277); "
+                "evaluate non-binary-classifier models via the Evaluator "
+                "CLI instead")
         self.mcfg = config_from(cfg)
 
         if params is None:

@@ -58,6 +58,16 @@ class Request:
     def content_type(self) -> str:
         return self.environ.get("CONTENT_TYPE", "")
 
+    @property
+    def host_url(self) -> str:
+        """``scheme://host`` of this request — for links that must work
+        OUTSIDE the site (emails), like the reference's
+        ``url_for(..., _external=True)``."""
+        scheme = self.environ.get("wsgi.url_scheme", "http")
+        host = (self.environ.get("HTTP_HOST")
+                or self.environ.get("SERVER_NAME", "localhost"))
+        return f"{scheme}://{host}"
+
     def get_json(self, silent: bool = True) -> Any:
         if self._json is None:
             try:

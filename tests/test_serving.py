@@ -123,6 +123,56 @@ def test_predict_requires_auth(client):
     assert st == 401
 
 
+def test_non_dict_json_body_is_400(client):
+    """A JSON body that is a list/string/number must 400, not
+    AttributeError-500 at the first .get."""
+    st, r = client.post("/user_login", json_body=[1])
+    assert st == 400
+    st, r = client.post("/user_signup", json_body="nope")
+    assert st == 400
+
+
+def test_double_verify_is_controlled_400(client):
+    """Two signup tokens for one address (double-submitted form): the
+    second verification returns a clean 400, not a raw UNIQUE-constraint
+    500."""
+    st, r1 = client.post("/user_signup", json_body={
+        "name": "a", "email": "dup@x.com", "password": "p", "phone": ""})
+    st, r2 = client.post("/user_signup", json_body={
+        "name": "a", "email": "dup@x.com", "password": "p", "phone": ""})
+    st, _ = client.get(r1["verify_url"])
+    assert st == 200
+    st, r = client.get(r2["verify_url"])
+    assert st == 400 and "registered" in r["error"].lower()
+
+
+def test_upload_limit_marks_subscription_expired(client):
+    """ref app.py:2900-2916: exhausting the upload budget flips the
+    subscription to 'expired' so Status-based analytics stop counting
+    it."""
+    uid = _signup_and_login(client, email="lim@x.com")
+    client.app.db.execute(
+        "INSERT INTO subscription (User_ID, Plan_Type, Status, Start_Date, "
+        "End_Date, Upload_Limit, Uploads_Used, Payment_Method) VALUES "
+        "(%s, 'Basic', 'Active', date('now'), date('now', '+30 day'), "
+        "1, 1, 'Stripe')", (uid,))
+    st, r = client.post("/save_image_info", files={
+        "image": ("a.png", _png_bytes())})
+    assert st == 403
+    row = client.app.db.query_one(
+        "SELECT Status FROM subscription WHERE User_ID=%s", (uid,))
+    assert row["Status"] == "Expired"
+
+
+def test_feedback_requires_text(client):
+    """ref app.py:2685: missing feedback text is a 400, not a silent
+    empty-text row polluting the sentiment analytics."""
+    _signup_and_login(client, email="fb@x.com")
+    st, r = client.post("/submit_feedback", json_body={
+        "type": "general", "rating": 5})
+    assert st == 400
+
+
 def test_otp_reset_flow(client):
     _signup_and_login(client)
     st, r = client.post("/forgot_password",

@@ -244,6 +244,32 @@ def test_otp_expiry_and_consume():
     assert not store.verify_otp("e@x.com", otp2)
 
 
+def test_otp_bruteforce_lockout():
+    """A 6-digit OTP with unlimited tries is a brute-force oracle; after
+    OTP_MAX_ATTEMPTS wrong guesses the code is burned."""
+    store = TokenStore()
+    otp = store.create_otp("e@x.com")
+    wrong = "000000" if otp != "000000" else "000001"
+    for _ in range(store.OTP_MAX_ATTEMPTS):
+        assert not store.verify_otp("e@x.com", wrong)
+    # the correct code no longer works — a fresh OTP is required
+    assert not store.verify_otp("e@x.com", otp)
+    otp2 = store.create_otp("e@x.com")
+    assert store.verify_otp("e@x.com", otp2)   # counter reset with new code
+
+
+def test_non_binary_classifier_serving_rejected():
+    """SelfMaskInference must fail at construction with a clear message
+    for use_binary_classifier=False — the /predict selection needs the
+    objectness head (the reference app would KeyError on such a model)."""
+    from sod_tpu.config import Config
+
+    with pytest.raises(ValueError, match="use_binary_classifier"):
+        SelfMaskInference(cfg=Config(use_binary_classifier=False,
+                                     compute_dtype="float32"),
+                          warmup=False)
+
+
 def test_payment_provider_stub():
     p = PaymentProvider()
     assert p.mode == "stub"
