@@ -20,7 +20,8 @@ import sys
 import time
 
 # persistent XLA compile cache — repeat bench runs skip the multi-minute
-# tunnel compiles
+# tunnel compiles.  Kept as an env var for SUBPROCESSES (--train-only
+# inherits it before its interpreter pre-imports jax)...
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_sod_bench"))
 
@@ -32,18 +33,16 @@ _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       ".bench_torch_baseline.json")
 
 
-def measure_tpu_ips() -> float:
+def make_forward_chain(mcfg, iters: int):
+    """The tunnel-safe inference benchmark program: ``iters`` forwards
+    chained by a data dependence inside ONE jit, synced by a scalar fetch
+    (``block_until_ready`` does not wait through the axon tunnel).  Shared
+    with ``scripts/bench_infer.py`` so the sweep measures exactly what
+    this headline reports."""
     import jax
     import jax.numpy as jnp
 
-    from sod_tpu.config import Config
-    from sod_tpu.models.maskformer import config_from, maskformer_apply, maskformer_init
-
-    cfg = Config()  # nq20 / ndl6 / ViT-S/8 / flash attention
-    mcfg = config_from(cfg)
-    params = maskformer_init(jax.random.key(0), mcfg)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
-                          if x.dtype == jnp.float32 else x, params)
+    from sod_tpu.models.maskformer import maskformer_apply
 
     @jax.jit
     def forward_chain(params, x):
@@ -58,9 +57,32 @@ def measure_tpu_ips() -> float:
                 out["mask_pred"][:, -1], best[:, None, None, None], axis=1)
             m = jnp.mean(sel) * 1e-6
             return carry + m.astype(carry.dtype), jnp.sum(sel)
-        final, sums = jax.lax.scan(body, x, None, length=ITERS)
+        final, sums = jax.lax.scan(body, x, None, length=iters)
         return jnp.sum(final) + jnp.sum(sums)
 
+    return forward_chain
+
+
+def measure_tpu_ips() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    # ...but THIS process must set it through jax.config: the box
+    # pre-imports jax at interpreter startup, so the env var above lands
+    # too late for our own jit calls (CLAUDE.md environment quirks)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from sod_tpu.config import Config
+    from sod_tpu.models.maskformer import config_from, maskformer_apply, maskformer_init
+
+    cfg = Config()  # nq20 / ndl6 / ViT-S/8 / flash attention
+    mcfg = config_from(cfg)
+    params = maskformer_init(jax.random.key(0), mcfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                          if x.dtype == jnp.float32 else x, params)
+
+    forward_chain = make_forward_chain(mcfg, ITERS)
     x = jnp.zeros((BATCH, IMG, IMG, 3), jnp.bfloat16)
     float(forward_chain(params, x))          # compile + warmup
     t = time.perf_counter()

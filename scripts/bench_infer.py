@@ -20,7 +20,6 @@ def measure(batch: int, iters: int = 20, arch: str = "vit_small") -> float:
     from sod_tpu.config import Config
     from sod_tpu.models.maskformer import (
         config_from,
-        maskformer_apply,
         maskformer_init,
     )
 
@@ -38,20 +37,11 @@ def measure(batch: int, iters: int = 20, arch: str = "vit_small") -> float:
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
                           if x.dtype == jnp.float32 else x, params)
 
-    @jax.jit
-    def chain(params, x):
-        def body(c, _):
-            out = maskformer_apply(params, c, mcfg, fused=True)
-            obj = out["objectness"][:, -1, :, 0]
-            best = jnp.argmax(obj, axis=-1)
-            sel = jnp.take_along_axis(
-                out["mask_pred"][:, -1], best[:, None, None, None], axis=1)
-            m = jnp.mean(sel) * 1e-6
-            return c + m.astype(c.dtype), jnp.sum(sel)
+    # the ONE shared benchmark program (bench.py) — the sweep must measure
+    # exactly what the headline bench reports
+    from bench import make_forward_chain
 
-        f, s = jax.lax.scan(body, x, None, length=iters)
-        return jnp.sum(f) + jnp.sum(s)
-
+    chain = make_forward_chain(mcfg, iters)
     x = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
     float(chain(params, x))
     t0 = time.perf_counter()

@@ -162,21 +162,49 @@ def fill_holes_and_select(binary: np.ndarray) -> np.ndarray:
     return np.ones(binary.shape, bool)
 
 
+def _bucket(n: int, floor: int) -> int:
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
 def bilateral_solver_output(
     img, target: np.ndarray, sigma_spatial: int = 16, sigma_luma: int = 16,
     sigma_chroma: int = 8, lam: float = 256.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """ref ``bilateral_solver_output`` (:152-193): returns (soft, binary)."""
+    """ref ``bilateral_solver_output`` (:152-193): returns (soft, binary).
+
+    Vertex and pixel counts are padded to power-of-two buckets before the
+    jitted solve: nvertices is content-dependent (the occupied-cell count)
+    and npixels is size-dependent, so without bucketing EVERY distinct
+    image triggers a fresh XLA compile (30s-to-minutes through a remote-
+    compile tunnel).  Padded pixels carry zero target/confidence and point
+    at a disconnected dummy vertex, so real-vertex results are identical.
+    """
     reference = np.asarray(img)
     h, w = target.shape
-    confidence = np.full((h, w), 0.999)
 
     grid = BilateralGrid(reference, sigma_spatial=sigma_spatial,
                          sigma_luma=sigma_luma, sigma_chroma=sigma_chroma)
+
+    nv = grid.nvertices
+    nv_pad = _bucket(nv + 1, 512)          # +1: the dummy vertex must exist
+    nbrs = np.full((grid.neighbors.shape[0], 2, nv_pad), -1, np.int64)
+    nbrs[:, :, :nv] = grid.neighbors
+
+    npix = h * w
+    np_pad = _bucket(npix, 1 << 16)
+    t = np.zeros(np_pad, np.float32)
+    t[:npix] = np.asarray(target, np.float32).reshape(-1)
+    c = np.zeros(np_pad, np.float32)
+    c[:npix] = 0.999                        # ref confidence (:173)
+    idx = np.full(np_pad, nv_pad - 1, np.int64)
+    idx[:npix] = grid.pixel_to_vertex
+
     soft = np.asarray(_solve_device(
-        jnp.asarray(target, jnp.float32), jnp.asarray(confidence, jnp.float32),
-        jnp.asarray(grid.pixel_to_vertex), jnp.asarray(grid.neighbors),
-        nvertices=grid.nvertices, lam=lam)).reshape(h, w)
+        jnp.asarray(t), jnp.asarray(c), jnp.asarray(idx), jnp.asarray(nbrs),
+        nvertices=nv_pad, lam=lam))[:npix].reshape(h, w)
 
     binary = fill_holes_and_select(soft > 0.5)
     return soft, binary
