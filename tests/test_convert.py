@@ -332,15 +332,9 @@ def test_flagship_converted_params_drive_evaluator(rng, tmp_path):
     params = jax.tree.map(jnp.asarray,
                           convert_maskformer(sd, n_decoder_layers=6,
                                              depth=12))
-    duts = tmp_path / "DUTS"
-    for sub in ("DUTS-TE-Image", "DUTS-TE-Mask"):
-        (duts / sub).mkdir(parents=True)
-    for i in range(2):
-        img = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
-        Image.fromarray(img).save(duts / "DUTS-TE-Image" / f"t{i}.jpg")
-        gt = np.zeros((40, 48), np.uint8)
-        gt[8:25, 10:35] = 255
-        Image.fromarray(gt).save(duts / "DUTS-TE-Mask" / f"t{i}.png")
+    from tests._fixtures import make_duts
+
+    make_duts(tmp_path, rng, n_test=2, test_hw=(40, 48))
 
     cfg = Config(dir_dataset=str(tmp_path), compute_dtype="float32",
                  use_pallas_attention=False, num_workers=2)

@@ -15,15 +15,9 @@ from sod_tpu.utils.visualizer import Visualizer, compose_argmax_map
 
 
 def _make_duts(tmp_path, rng, n=5):
-    duts = tmp_path / "DUTS"
-    for sub in ("DUTS-TE-Image", "DUTS-TE-Mask"):
-        (duts / sub).mkdir(parents=True)
-    for i in range(n):
-        img = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
-        Image.fromarray(img).save(duts / "DUTS-TE-Image" / f"t{i}.jpg")
-        gt = np.zeros((40, 48), np.uint8)
-        gt[8:25, 10:35] = 255
-        Image.fromarray(gt).save(duts / "DUTS-TE-Mask" / f"t{i}.png")
+    from tests._fixtures import make_duts
+
+    make_duts(tmp_path, rng, n_test=n, test_hw=(40, 48))
 
 
 def test_evaluator_writes_visualization_grids(tmp_path, rng):

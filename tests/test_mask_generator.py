@@ -38,14 +38,12 @@ def test_vote_mask_picks_consensus():
     a[2, 12:15, 12:15] = 1     # outlier
     a[3, 2:10, 2:11] = 1
     assert vote_mask(a) in (0, 1, 3)
-    iou_sums = []
     flat = a.reshape(4, -1).astype(bool)
     inter = (flat[:, None] & flat[None, :]).sum(-1)
     union = (flat[:, None] | flat[None, :]).sum(-1)
     iou = inter / np.maximum(union, 1)
     np.fill_diagonal(iou, 0)
     assert vote_mask(a) == int(np.argmax(iou.sum(-1)))
-    del iou_sums
 
 
 def test_filter_masks_drops_edge_spanning():

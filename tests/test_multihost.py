@@ -78,7 +78,8 @@ def test_loader_drop_last_under_sharding(monkeypatch):
                         num_workers=1, drop_last=True,
                         shard_by_process=True)
     batches = list(loader)
-    assert len(batches) == len(loader) == 2      # 10 indices -> 2 full
+    assert len(batches) == len(loader) == 2      # 21 wrap-pads to 22 ->
+    # 11 indices for this process -> 2 full batches (3 dropped)
     assert all(len(b) == 4 for b in batches)
 
 

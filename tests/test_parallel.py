@@ -86,15 +86,9 @@ def test_evaluator_with_mesh(tmp_path, rng):
     from sod_tpu.ops import rle as rle_codec
     from sod_tpu.train.evaluator import Evaluator
 
-    duts = tmp_path / "DUTS"
-    for sub in ("DUTS-TE-Image", "DUTS-TE-Mask"):
-        (duts / sub).mkdir(parents=True)
-    for i in range(8):
-        img = (rng.rand(48, 56, 3) * 255).astype(np.uint8)
-        Image.fromarray(img).save(duts / "DUTS-TE-Image" / f"t{i}.jpg")
-        gt = np.zeros((48, 56), np.uint8)
-        gt[10:30, 12:40] = 255
-        Image.fromarray(gt).save(duts / "DUTS-TE-Mask" / f"t{i}.png")
+    from tests._fixtures import make_duts
+
+    make_duts(tmp_path, rng, n_test=8, test_hw=(48, 56))
 
     cfg = Config(dir_dataset=str(tmp_path), compute_dtype="float32",
                  use_pallas_attention=False, num_workers=2)
@@ -123,15 +117,9 @@ def test_evaluator_canvas_size_cached(tmp_path, rng, monkeypatch):
     from sod_tpu.data.factory import get_dataset
     from sod_tpu.train.evaluator import Evaluator
 
-    duts = tmp_path / "DUTS"
-    for sub in ("DUTS-TE-Image", "DUTS-TE-Mask"):
-        (duts / sub).mkdir(parents=True)
-    for i in range(4):
-        img = (rng.rand(40, 48, 3) * 255).astype(np.uint8)
-        PIL.Image.fromarray(img).save(duts / "DUTS-TE-Image" / f"t{i}.jpg")
-        gt = np.zeros((40, 48), np.uint8)
-        gt[5:20, 6:30] = 255
-        PIL.Image.fromarray(gt).save(duts / "DUTS-TE-Mask" / f"t{i}.png")
+    from tests._fixtures import make_duts
+
+    make_duts(tmp_path, rng, n_test=4, test_hw=(40, 48))
 
     cfg = Config(dir_dataset=str(tmp_path), compute_dtype="float32",
                  use_pallas_attention=False)

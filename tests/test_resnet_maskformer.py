@@ -140,11 +140,18 @@ def test_resnet_maskformer_train_step_updates_bn_buffers():
     # (a) buffers moved by the batch-stats EMA
     assert float(jnp.abs(bn1["mean"] - bn0["mean"]).max()) > 0
     assert float(jnp.abs(bn1["var"] - bn0["var"]).max()) > 0
-    # (b) the move equals exactly one momentum-0.1 EMA step toward the
-    # batch stats (no AdamW update / weight decay on buffers): running
-    # mean stays within the EMA bound
-    assert float(jnp.abs(bn1["mean"] - bn0["mean"]).max()) <= 0.1 * (
-        float(jnp.abs(bn1["mean"] / 0.1).max()) + 10)
+    # (b) the post-step buffers EXACTLY equal the forward's EMA-updated
+    # batch stats — i.e. merge_bn_stats wrote them and AdamW/weight-decay
+    # never touched them (a previous version of this assertion was a
+    # tautology; this one fails if the optimizer path perturbs buffers)
+    from sod_tpu.models.maskformer import maskformer_apply
+
+    out = maskformer_apply(params, batch["image"], mcfg, train=True)
+    expect = out["batch_stats"]["encoder"]["prefix"]["bn1"]
+    np.testing.assert_allclose(np.asarray(bn1["mean"]),
+                               np.asarray(expect["mean"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(bn1["var"]),
+                               np.asarray(expect["var"]), rtol=1e-6)
     # (c) conv weights trained
     w0 = params["encoder"]["prefix"]["conv1"]
     w1 = p1["encoder"]["prefix"]["conv1"]

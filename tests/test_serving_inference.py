@@ -138,6 +138,11 @@ def test_micro_batcher_coalesces_and_is_correct():
 
     def counting_forward(params, x):
         calls.append(int(x.shape[0]))
+        # hold the "device" busy so the co-arriving requests provably
+        # coalesce — without this the assertion depends on thread timing
+        # (a lone request on an idle device dispatches immediately, by
+        # design)
+        time.sleep(0.05)
         return orig_forward(params, x)
 
     svc._forward = counting_forward
