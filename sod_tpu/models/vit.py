@@ -425,10 +425,22 @@ def vit_get_tokens(params: dict, x: jax.Array, cfg: ViTConfig,
                    norm: bool = True) -> jax.Array:
     """Intermediate tokens stacked over layers (ref ``get_tokens``,
     ``vision_transformer.py:316-357``).  Returns [B, L', 1+N, D] (or CLS only
-    [B, L', D] when ``patch_tokens`` is False, matching the reference)."""
-    stacked = vit_apply(params, x, cfg, all_layers=True)  # [L, B, 1+N, D]
-    if not norm:
-        raise NotImplementedError("un-normed intermediate tokens not kept by scan")
+    [B, L', D] when ``patch_tokens`` is False, matching the reference).
+
+    :param norm: apply the final LayerNorm to every collected layer (the
+        reference's ``norm=True`` default); ``False`` returns the raw
+        block outputs (ref ``vision_transformer.py:342-346`` appends
+        ``x`` un-normed) via a scan that stacks the pre-norm carries."""
+    if norm:
+        stacked = vit_apply(params, x, cfg, all_layers=True)  # [L, B, 1+N, D]
+    else:
+        tokens, _ = prepare_tokens(params, x, cfg)
+
+        def body(carry, bp):
+            out = _block_apply(bp, carry, cfg)
+            return out, out                       # raw block output
+
+        _, stacked = jax.lax.scan(body, tokens, params["blocks"])
     if layers is not None:
         stacked = stacked[jnp.asarray(layers)]
     stacked = stacked.transpose(1, 0, 2, 3)               # [B, L', 1+N, D]

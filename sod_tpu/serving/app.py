@@ -46,11 +46,13 @@ def _allowed_file(filename: str) -> bool:
 
 
 def _form_data(req) -> dict:
-    """JSON body (object) or form fields.  A truthy NON-dict JSON body
-    (``[1]``, ``"x"``, ``5``) must 400, not AttributeError-500 at the
-    first ``.get``."""
+    """JSON body (object) or form fields.  ANY parsed non-dict JSON body —
+    truthy (``[1]``, ``"x"``, ``5``) or falsy (``[]``, ``""``, ``0``,
+    ``false``) — must 400, not AttributeError-500 at the first ``.get``;
+    only the absence of a JSON body (no body / ``null``) falls back to
+    form fields."""
     data = req.get_json()
-    if not data:
+    if data is None:
         return req.form
     if not isinstance(data, dict):
         raise HTTPError(400, "JSON body must be an object")
@@ -218,8 +220,13 @@ def create_app(cfg=None, model_path: Optional[str] = None,
         link = f"/verify_signup/{token}"
         # the EMAIL needs an absolute URL (a mail client can't resolve a
         # bare path — ref uses url_for(..., _external=True)); the JSON
-        # keeps the path for same-origin frontend use
-        abs_link = f"{req.host_url}{link}"
+        # keeps the path for same-origin frontend use.  Prefer a CONFIGURED
+        # base URL: req.host_url comes from the client-controlled Host
+        # header, and a forged Host on a signup request would put an
+        # attacker domain carrying the real verification token into the
+        # victim's email (host-header-injection phishing)
+        base = os.environ.get("SOD_BASE_URL", "").rstrip("/") or req.host_url
+        abs_link = f"{base}{link}"
         emailer.send(email, "Verify your SOD account",
                      f"<p>Hi {name}, verify your account: "
                      f"<a href='{abs_link}'>{abs_link}</a> "

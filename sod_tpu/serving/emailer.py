@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import secrets
+import threading
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -61,6 +62,10 @@ class TokenStore:
         self.pending_signups: Dict[str, Dict] = {}
         self.otps: Dict[str, Tuple[str, float]] = {}
         self.otp_attempts: Dict[str, int] = {}
+        # the wrong-guess counter is a read-modify-write; under the
+        # threaded WSGI server concurrent guesses could interleave and
+        # exceed OTP_MAX_ATTEMPTS before the code is burned
+        self._otp_lock = threading.Lock()
 
     # --- signup verification ----------------------------------------------
     def create_signup(self, name: str, email: str, password_hash: str,
@@ -92,28 +97,31 @@ class TokenStore:
 
     def create_otp(self, email: str) -> str:
         otp = f"{secrets.randbelow(1000000):06d}"
-        self.otps[email] = (otp, time.time() + OTP_TTL_SECONDS)
-        self.otp_attempts[email] = 0
+        with self._otp_lock:
+            self.otps[email] = (otp, time.time() + OTP_TTL_SECONDS)
+            self.otp_attempts[email] = 0
         return otp
 
     def verify_otp(self, email: str, otp: str) -> bool:
-        stored = self.otps.get(email)
-        if stored is None:
-            return False
-        value, expires = stored
-        if expires < time.time():
-            self.otps.pop(email, None)
-            self.otp_attempts.pop(email, None)
-            return False
-        ok = secrets.compare_digest(value, otp)
-        if not ok:
-            self.otp_attempts[email] = self.otp_attempts.get(email, 0) + 1
-            if self.otp_attempts[email] >= self.OTP_MAX_ATTEMPTS:
-                # burn the code: the caller must request a fresh OTP
+        with self._otp_lock:
+            stored = self.otps.get(email)
+            if stored is None:
+                return False
+            value, expires = stored
+            if expires < time.time():
                 self.otps.pop(email, None)
                 self.otp_attempts.pop(email, None)
-        return ok
+                return False
+            ok = secrets.compare_digest(value, otp)
+            if not ok:
+                self.otp_attempts[email] = self.otp_attempts.get(email, 0) + 1
+                if self.otp_attempts[email] >= self.OTP_MAX_ATTEMPTS:
+                    # burn the code: the caller must request a fresh OTP
+                    self.otps.pop(email, None)
+                    self.otp_attempts.pop(email, None)
+            return ok
 
     def consume_otp(self, email: str) -> None:
-        self.otps.pop(email, None)
-        self.otp_attempts.pop(email, None)
+        with self._otp_lock:
+            self.otps.pop(email, None)
+            self.otp_attempts.pop(email, None)

@@ -247,10 +247,13 @@ class SelfMaskInference:
             # construction instead of a KeyError at warmup that degrades
             # serving to "model unavailable" with no explanation.
             raise ValueError(
-                "serving requires use_binary_classifier=True (the "
-                "/predict path selects by objectness, ref app.py:267-277); "
-                "evaluate non-binary-classifier models via the Evaluator "
-                "CLI instead")
+                "serving requires use_binary_classifier=True: the "
+                "/predict path selects by objectness (ref app.py:267-277) "
+                "and the non-bc forward carries no objectness head (ref "
+                "maskformer.py:245-250 omits the key — the reference's "
+                "own app would KeyError too).  Objectness-based "
+                "evaluation of non-bc models is likewise unsupported, "
+                "matching the reference (see docs/PARITY.md)")
         self.mcfg = config_from(cfg)
 
         if params is None:

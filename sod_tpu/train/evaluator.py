@@ -80,6 +80,19 @@ class Evaluator:
         self.params = params
         self.cfg = cfg
         self.mcfg = mcfg or config_from(cfg)
+        if not self.mcfg.use_binary_classifier:
+            # the evaluator selects the metric mask by argmax objectness
+            # (ref evaluator pyc 219-221) but the non-bc forward carries
+            # no objectness head (ref maskformer.py:245-250 omits the
+            # key), so the reference's own evaluator would KeyError too.
+            # Fail loudly at construction instead of at jit trace time.
+            # Non-bc models keep the GT-free vote selection surface via
+            # ``salient_mask_index`` below (ref ``_get_salient_mask``).
+            raise ValueError(
+                "Evaluator requires use_binary_classifier=True: selection "
+                "is argmax objectness (ref evaluator pyc 219-221) and the "
+                "non-bc forward has no objectness head — unsupported in "
+                "the reference as well (docs/PARITY.md)")
         self.dir_dataset = dir_dataset or cfg.dir_dataset
         # ref evaluator pyc asserts the dataset dir exists; raise a real
         # error (an assert would vanish under python -O and callers catch

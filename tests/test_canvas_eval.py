@@ -102,3 +102,23 @@ def test_canvas_native_grid_image(model, rng):
     np.testing.assert_allclose(np.asarray(out["mask_pred"]),
                                np.asarray(ref["mask_pred"]),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_evaluator_rejects_non_bc_config(tmp_path):
+    """Objectness-based evaluation of non-bc models is unsupported in the
+    reference itself (its forward omits the key, maskformer.py:245-250;
+    evaluator pyc 199-205 reads it unconditionally) — the Evaluator must
+    raise a clear error at construction, not a KeyError at trace time
+    (ADVICE r3)."""
+    from sod_tpu.config import Config
+    from sod_tpu.models.maskformer import maskformer_init
+    from sod_tpu.train.evaluator import Evaluator
+
+    mcfg = MaskFormerConfig(n_queries=5, n_decoder_layers=2,
+                            use_binary_classifier=False,
+                            vit=ViTConfig(patch_size=8, embed_dim=64,
+                                          depth=2, n_heads=2, pos_grid=28))
+    params = maskformer_init(jax.random.key(0), mcfg)
+    cfg = Config(dir_dataset=str(tmp_path), use_binary_classifier=False)
+    with pytest.raises(ValueError, match="objectness"):
+        Evaluator(params, cfg, mcfg)

@@ -52,6 +52,34 @@ def test_vit_input_padding():
     assert out.shape[1] == (72 // 8) * (72 // 8) + 1
 
 
+def test_vit_get_tokens_norm_and_raw():
+    """ref ``get_tokens`` (vision_transformer.py:316-357): norm=True
+    applies the final LayerNorm to every collected layer; norm=False
+    returns the raw block outputs (VERDICT r3 missing item 2 — this was a
+    NotImplementedError)."""
+    from sod_tpu.models.vit import vit_get_tokens
+    from sod_tpu.ops.layers import layer_norm
+
+    cfg = tiny_vit(patch_size=8)
+    params = vit_init(jax.random.key(3), cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    n = (64 // 8) ** 2
+    normed = vit_get_tokens(params, x, cfg, patch_tokens=True)
+    raw = vit_get_tokens(params, x, cfg, patch_tokens=True, norm=False)
+    assert normed.shape == raw.shape == (2, cfg.depth, n + 1, 64)
+    # norm(raw layer) == normed layer, every layer
+    renormed = layer_norm(params["norm"], raw, cfg.ln_eps)
+    np.testing.assert_allclose(np.asarray(renormed), np.asarray(normed),
+                               rtol=1e-5, atol=1e-5)
+    # raw differs from normed (the hole was real)
+    assert not np.allclose(np.asarray(raw), np.asarray(normed), atol=1e-3)
+    # CLS-only + layer selection on the raw path
+    cls_raw = vit_get_tokens(params, x, cfg, layers=[0, 2], norm=False)
+    assert cls_raw.shape == (2, 2, 64)
+    np.testing.assert_allclose(np.asarray(cls_raw[:, 1]),
+                               np.asarray(raw[:, 2, 0, :]), rtol=1e-6)
+
+
 @pytest.fixture(scope="module")
 def mf():
     mcfg = MaskFormerConfig(n_queries=5, n_decoder_layers=2, vit=tiny_vit())

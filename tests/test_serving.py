@@ -130,6 +130,26 @@ def test_non_dict_json_body_is_400(client):
     assert st == 400
     st, r = client.post("/user_signup", json_body="nope")
     assert st == 400
+    # FALSY non-dict bodies ([], "", 0, false) must hit the same 400, not
+    # silently fall back to the empty-form missing-fields path (ADVICE r3)
+    for body in ([], "", 0, False):
+        st, r = client.post("/user_login", json_body=body)
+        assert st == 400 and "object" in r["error"].lower(), body
+
+
+def test_signup_email_link_prefers_configured_base_url(client, monkeypatch):
+    """The verification email's absolute link must come from SOD_BASE_URL
+    when configured, not the client-controlled Host header (ADVICE r3:
+    host-header-injection phishing)."""
+    monkeypatch.setenv("SOD_BASE_URL", "https://sod.example.org")
+    st, r = client.post("/user_signup",
+                        json_body={"name": "a", "email": "hh@x.com",
+                                   "password": "p", "phone": ""},
+                        headers={"Host": "evil.attacker.example"})
+    assert st == 200
+    sent = client.app.emailer.sent[-1]
+    assert "https://sod.example.org/verify_signup/" in sent["html"]
+    assert "evil.attacker.example" not in sent["html"]
 
 
 def test_double_verify_is_controlled_400(client):
