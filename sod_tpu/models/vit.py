@@ -260,17 +260,21 @@ def fused_block_train(bp: dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
     always belong to the forward that produced the loss (tanh-GELU in the
     MLP half either way).
     """
+    import os
+
     from sod_tpu.ops.fused_attn import fused_ln_attn
     from sod_tpu.ops.fused_mlp import fused_ln_mlp
 
-    # MLP half only: saving qkv in the attention backward pushed the
-    # kernel's scoped-VMEM allocation to 17.5 MB against the step's
-    # 16.00 MB budget (the fused weight-stack slices own most of the
-    # scope), so the attention half keeps its in-VMEM recompute; the MLP
-    # half's saved pre-GELU hidden is the bigger matmul anyway
-    # (1.06 vs 0.79 GFLOP/block/img at ViT-S/8 shapes)
+    # qkv-save (cfg.fused_save_acts) is measured-rejected on v5e; the
+    # round-4 attn-save streams the pre-projection attention output
+    # instead (3x smaller slab, skips six 64-wide p@v recompute matmuls
+    # per image in the backward) and measured FASTER — default on, env
+    # SOD_NO_SAVE_ATTN=1 reverts for A/B measurement
     x1 = fused_ln_attn(x, bp["attn"], bp["norm1"], cfg.n_heads,
-                       eps=cfg.ln_eps)
+                       eps=cfg.ln_eps,
+                       save_acts=cfg.fused_save_acts,
+                       save_attn=not (cfg.fused_save_acts
+                                      or os.environ.get("SOD_NO_SAVE_ATTN")))
     return fused_ln_mlp(x1, bp["mlp"], bp["norm2"], eps=cfg.ln_eps,
                         save_acts=cfg.fused_save_acts)
 

@@ -56,10 +56,13 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _fwd_kernel(x_ref, ln_s, ln_b, wqkv, bqkv, wproj, bproj, o_ref, *,
                 n_heads: int, n_real: int, eps: float, scale: float,
-                qkv_ref=None):
+                qkv_ref=None, attn_ref=None):
     """Forward for one image.  ``qkv_ref`` (save-acts variant, wired by
     ``_fwd_kernel_save``) additionally streams the post-bias qkv (bf16)
-    to HBM so the backward can skip its recompute matmul."""
+    to HBM so the backward can skip its recompute matmul; ``attn_ref``
+    (save-attn variant) streams the pre-projection attention output
+    instead — 3x smaller, and it spares the backward the six
+    64-wide ``p @ v`` recompute matmuls per image."""
     x = x_ref[0].astype(jnp.float32)                       # [N, D]
     n, d = x.shape
     hd = d // n_heads
@@ -91,6 +94,8 @@ def _fwd_kernel(x_ref, ln_s, ln_b, wqkv, bqkv, wproj, bproj, o_ref, *,
                              preferred_element_type=jnp.float32)
                      .astype(jnp.bfloat16))
     attn = jnp.concatenate(heads, axis=1)                  # [N, D]
+    if attn_ref is not None:
+        attn_ref[0] = attn
     y = jnp.dot(attn, wproj[:], preferred_element_type=jnp.float32)
     o_ref[0] = (x + y + bproj[0].astype(jnp.float32)).astype(o_ref.dtype)
 
@@ -103,8 +108,18 @@ def _fwd_kernel_save(x_ref, ln_s, ln_b, wqkv, bqkv, wproj, bproj, o_ref,
                 qkv_ref=qkv_ref)
 
 
+def _fwd_kernel_save_attn(x_ref, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                          o_ref, attn_ref, *, n_heads: int, n_real: int,
+                          eps: float, scale: float):
+    _fwd_kernel(x_ref, ln_s, ln_b, wqkv, bqkv, wproj, bproj, o_ref,
+                n_heads=n_heads, n_real=n_real, eps=eps, scale=scale,
+                attn_ref=attn_ref)
+
+
 def _fwd_pallas(x, weights, n_heads, n_real, eps, scale,
-                interpret=False, want_qkv=False):
+                interpret=False, want=None):
+    """``want``: None | "qkv" | "attn" — stream an extra activation slab
+    to HBM for the backward (see the kernel docstring)."""
     b, n, d = x.shape
     weights = [w.astype(jnp.bfloat16) for w in weights]
     rep = lambda w: pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim,
@@ -113,16 +128,22 @@ def _fwd_pallas(x, weights, n_heads, n_real, eps, scale,
                        memory_space=pltpu.VMEM)
     img3 = pl.BlockSpec((1, n, 3 * d), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    if want == "qkv":
+        kernel, extra_spec = _fwd_kernel_save, img3
+        extra_shape = jax.ShapeDtypeStruct((b, n, 3 * d), jnp.bfloat16)
+    elif want == "attn":
+        kernel, extra_spec = _fwd_kernel_save_attn, img
+        extra_shape = jax.ShapeDtypeStruct((b, n, d), jnp.bfloat16)
+    else:
+        kernel, extra_spec, extra_shape = _fwd_kernel, None, None
     return pl.pallas_call(
-        functools.partial(_fwd_kernel_save if want_qkv else _fwd_kernel,
-                          n_heads=n_heads, n_real=n_real,
+        functools.partial(kernel, n_heads=n_heads, n_real=n_real,
                           eps=eps, scale=scale),
         grid=(b,),
         in_specs=[img] + [rep(w) for w in weights],
-        out_specs=[img, img3] if want_qkv else img,
-        out_shape=([jax.ShapeDtypeStruct((b, n, d), x.dtype),
-                    jax.ShapeDtypeStruct((b, n, 3 * d), jnp.bfloat16)]
-                   if want_qkv else
+        out_specs=[img, extra_spec] if want else img,
+        out_shape=([jax.ShapeDtypeStruct((b, n, d), x.dtype), extra_shape]
+                   if want else
                    jax.ShapeDtypeStruct((b, n, d), x.dtype)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -143,20 +164,39 @@ def _fwd_pallas(x, weights, n_heads, n_real, eps, scale,
 #: q-row chunk for the backward's score slabs — bounds the transient
 #: [CHUNK, N] f32 buffers so the whole kernel stays under XLA's scoped-VMEM
 #: budget (a monolithic [N, N] version measured 21.6 MB and failed at the
-#: 20.59 MB budget of the B=32 step; 512-chunking measured 17.0 MB and
-#: failed at the 16.00 MB budget of the B>=64 step; 256 fits everywhere)
-_BWD_CHUNK = 256
+#: 20.59 MB budget of the B=32 step; r3's 512-chunking measured 17.0 MB
+#: and failed the 16.00 MB budget of the B>=64 step).  Round 4: 512 at
+#: B<=32 (measured 430 -> 440 img/s over 256 at B=32); B>=48 gets a
+#: tighter 16.00 MB default budget, where the round-4 [N, 3D] dqkv
+#: scratch measured 17.88 MB at chunk 256 (16.48 even at 64 — the
+#: chunk-independent slabs dominate), so the TRAIN jit raises the
+#: per-compile scoped limit instead (``train.step._jit_train``) and big
+#: batches keep chunk 256.
+_BWD_CHUNK = 512
+_BWD_CHUNK_BIGBATCH = 256
 
 
 def _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
                 dx_ref, dls_ref, dlb_ref, dwqkv_ref, dbqkv_ref,
-                dwproj_ref, dbproj_ref, *,
+                dwproj_ref, dbproj_ref, dqkv_s, attn_s, *,
                 n_heads: int, n_real: int, eps: float, scale: float,
-                qkv_ref=None, chunk_size: int = _BWD_CHUNK):
+                qkv_ref=None, attn_in=None, chunk_size: int = _BWD_CHUNK):
     """Backward for one image.  ``qkv_ref`` (saved-activation variant,
     wired by ``_bwd_kernel_saved``) skips the [N, D] x [D, 3D] qkv
     recompute matmul; LN is still recomputed (VPU-only) because ``h``
-    feeds the weight gradients."""
+    feeds the weight gradients.  ``attn_in`` (save-attn variant) is the
+    forward-streamed pre-projection attention output — the per-chunk
+    ``p @ v`` recompute (six 64-wide matmuls per image) is skipped and
+    dWproj contracts the saved slab directly.
+
+    Weight grads / dh run as FULL-WIDTH matmuls over the [N, 3D] bf16
+    ``dqkv_s`` and [N, D] ``attn_s`` scratch slabs (round 4): the round-3
+    per-head formulation emitted 18 dW, 18 dh and 6 dWproj matmuls per
+    image with a 64-wide M/K/N dimension — each at ~half MXU utilization
+    against the 128-lane tile.  Assembling dq/dk/dv (and the recomputed
+    attention output) per head and contracting once at full width runs
+    the same FLOPs at full tile occupancy for ~2.75 GFLOP/img/block of
+    the backward."""
     i = pl.program_id(0)
     x = x_ref[0].astype(jnp.float32)                       # [N, D]
     g = g_ref[0].astype(jnp.float32)                       # [N, D] (padded
@@ -185,7 +225,6 @@ def _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
     first = i == 0
     chunk = min(chunk_size, n)
     key_row = (jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) < n_real)
-    dh = jnp.zeros((n, d), jnp.float32)
     for hi in range(n_heads):                              # static unroll
         q = qkv[:, hi * hd:(hi + 1) * hd]
         k = qkv[:, d + hi * hd:d + (hi + 1) * hd]
@@ -193,8 +232,7 @@ def _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
         do = dattn[:, hi * hd:(hi + 1) * hd]
         dk = jnp.zeros((n, hd), jnp.float32)
         dv = jnp.zeros((n, hd), jnp.float32)
-        dq_chunks = []
-        o_chunks = []
+        dbq = jnp.zeros((1, hd), jnp.float32)
         for c0 in range(0, n, chunk):                      # q-row chunks
             qc = q[c0:c0 + chunk]
             doc = do[c0:c0 + chunk]
@@ -206,9 +244,10 @@ def _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
             e = jnp.exp(s - m)
             p = e / jnp.sum(e, axis=-1, keepdims=True)
             pc = p.astype(jnp.bfloat16)
-            o_chunks.append(
-                jnp.dot(pc, v, preferred_element_type=jnp.float32)
-                .astype(jnp.bfloat16))
+            if attn_in is None:
+                attn_s[c0:c0 + chunk, hi * hd:(hi + 1) * hd] = (
+                    jnp.dot(pc, v, preferred_element_type=jnp.float32)
+                    .astype(jnp.bfloat16))
             dv = dv + jax.lax.dot_general(
                 pc, doc, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -221,52 +260,52 @@ def _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
             # bf16: dq only feeds bf16 matmuls downstream; halving it
             # keeps the kernel under the 16.00 MB scoped budget of the
             # B>=64 step (measured 16.12 MB with f32 chunks)
-            dq_chunks.append(
-                jnp.dot(dsc, k, preferred_element_type=jnp.float32)
-                .astype(jnp.bfloat16))
+            dq_c = (jnp.dot(dsc, k, preferred_element_type=jnp.float32)
+                    .astype(jnp.bfloat16))
+            dqkv_s[c0:c0 + chunk, hi * hd:(hi + 1) * hd] = dq_c
+            dbq = dbq + jnp.sum(dq_c.astype(jnp.float32), axis=0,
+                                keepdims=True)
             dk = dk + jax.lax.dot_general(
                 dsc, qc, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        dq = (dq_chunks[0] if len(dq_chunks) == 1
-              else jnp.concatenate(dq_chunks, axis=0))
-        o_h = (o_chunks[0] if len(o_chunks) == 1
-               else jnp.concatenate(o_chunks, axis=0))
-        # fold this head's pieces straight into the output refs / dh —
-        # no [N, 3D] scratch, no attention concat
-        o_sl = slice(hi * hd, (hi + 1) * hd)
-        dwp = jax.lax.dot_general(o_h, gc, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        for piece, off in ((dq, hi * hd), (dk, d + hi * hd),
-                           (dv, 2 * d + hi * hd)):
-            pc16 = piece.astype(jnp.bfloat16) if piece.dtype != jnp.bfloat16 else piece
-            dw = jax.lax.dot_general(h, pc16, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            db = jnp.sum(piece.astype(jnp.float32), axis=0,
-                         keepdims=True)
+        dqkv_s[:, d + hi * hd:d + (hi + 1) * hd] = dk.astype(jnp.bfloat16)
+        dqkv_s[:, 2 * d + hi * hd:2 * d + (hi + 1) * hd] = (
+            dv.astype(jnp.bfloat16))
+        # bias grads keep the round-3 precision (f32 dk/dv, bf16 dq) —
+        # only the matmul operands go through the bf16 scratch
+        for db, off in ((dbq, hi * hd),
+                        (jnp.sum(dk, axis=0, keepdims=True), d + hi * hd),
+                        (jnp.sum(dv, axis=0, keepdims=True),
+                         2 * d + hi * hd)):
             sl = slice(off, off + hd)
 
             @pl.when(first)
-            def _(dw=dw, db=db, sl=sl):
-                dwqkv_ref[:, sl] = dw
+            def _(db=db, sl=sl):
                 dbqkv_ref[:, sl] = db
 
             @pl.when(jnp.logical_not(first))
-            def _(dw=dw, db=db, sl=sl):
-                dwqkv_ref[:, sl] += dw
+            def _(db=db, sl=sl):
                 dbqkv_ref[:, sl] += db
 
-            wpiece = wqkv[:, sl]                           # [D, hd]
-            dh = dh + jax.lax.dot_general(
-                pc16, wpiece, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+    # ---- full-width weight grads + dh (one matmul each) ----
+    dqkv_all = dqkv_s[:]                                   # [N, 3D] bf16
+    attn_slab = attn_s[:] if attn_in is None else attn_in[0]
+    dwp = jax.lax.dot_general(attn_slab, gc, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [D, D]
+    dw = jax.lax.dot_general(h, dqkv_all, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # [D, 3D]
+    dh = jax.lax.dot_general(dqkv_all, wqkv[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # [N, D]
 
-        @pl.when(first)
-        def _(dwp=dwp, o_sl=o_sl):
-            dwproj_ref[o_sl, :] = dwp
+    @pl.when(first)
+    def _set_w():
+        dwqkv_ref[:] = dw
+        dwproj_ref[:] = dwp
 
-        @pl.when(jnp.logical_not(first))
-        def _(dwp=dwp, o_sl=o_sl):
-            dwproj_ref[o_sl, :] += dwp
+    @pl.when(jnp.logical_not(first))
+    def _acc_w():
+        dwqkv_ref[:] += dw
+        dwproj_ref[:] += dwp
 
     dbproj = jnp.sum(g, axis=0, keepdims=True)
 
@@ -293,11 +332,12 @@ def _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
 
 def _bwd_kernel_saved(x_ref, g_ref, qkv_ref, ln_s, ln_b, wqkv, bqkv,
                       wproj, dx_ref, dls_ref, dlb_ref, dwqkv_ref,
-                      dbqkv_ref, dwproj_ref, dbproj_ref, *,
+                      dbqkv_ref, dwproj_ref, dbproj_ref, dqkv_s, attn_s, *,
                       n_heads: int, n_real: int, eps: float, scale: float):
     _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
                 dx_ref, dls_ref, dlb_ref, dwqkv_ref, dbqkv_ref,
-                dwproj_ref, dbproj_ref, n_heads=n_heads, n_real=n_real,
+                dwproj_ref, dbproj_ref, dqkv_s, attn_s,
+                n_heads=n_heads, n_real=n_real,
                 eps=eps, scale=scale, qkv_ref=qkv_ref,
                 # the saved-qkv input block costs ~4 MB of double-buffered
                 # VMEM; halving the score-slab chunk pays for it under the
@@ -305,8 +345,20 @@ def _bwd_kernel_saved(x_ref, g_ref, qkv_ref, ln_s, ln_b, wqkv, bqkv,
                 chunk_size=128)
 
 
+def _bwd_kernel_attn(x_ref, g_ref, attn_ref, ln_s, ln_b, wqkv, bqkv,
+                     wproj, dx_ref, dls_ref, dlb_ref, dwqkv_ref,
+                     dbqkv_ref, dwproj_ref, dbproj_ref, dqkv_s, *,
+                     n_heads: int, n_real: int, eps: float, scale: float,
+                     chunk_size: int):
+    _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
+                dx_ref, dls_ref, dlb_ref, dwqkv_ref, dbqkv_ref,
+                dwproj_ref, dbproj_ref, dqkv_s, None,
+                n_heads=n_heads, n_real=n_real, eps=eps, scale=scale,
+                attn_in=attn_ref, chunk_size=chunk_size)
+
+
 def _bwd_pallas(x, g, weights, n_heads, n_real, eps, scale,
-                interpret=False, qkv_saved=None):
+                interpret=False, qkv_saved=None, attn_saved=None):
     b, n, d = x.shape
     weights = [w.astype(jnp.bfloat16) for w in weights]
     ln_s, ln_b, wqkv, bqkv, wproj, _bproj = weights
@@ -328,12 +380,32 @@ def _bwd_pallas(x, g, weights, n_heads, n_real, eps, scale,
                  jax.ShapeDtypeStruct((1, 3 * d), f32),
                  jax.ShapeDtypeStruct((d, d), f32),
                  jax.ShapeDtypeStruct((1, d), f32)]
+    import os
+
     cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     cost = pl.CostEstimate(
         flops=3 * (2 * b * n * d * 4 * d + 4 * b * n * n * d),
         bytes_accessed=4 * b * n * d * 2,
         transcendentals=b * n * n)
-    if qkv_saved is not None:
+    # full-width weight-grad slabs: dq/dk/dv assembled (bf16) then
+    # contracted once against h / wqkv at full MXU tile occupancy
+    scratch = [pltpu.VMEM((n, 3 * d), jnp.bfloat16),
+               pltpu.VMEM((n, d), jnp.bfloat16)]
+    default_chunk = _BWD_CHUNK if b <= 32 else _BWD_CHUNK_BIGBATCH
+    chunk_size = int(os.environ.get("SOD_BWD_CHUNK", default_chunk))
+    if attn_saved is not None:
+        outs = pl.pallas_call(
+            functools.partial(_bwd_kernel_attn, n_heads=n_heads,
+                              n_real=n_real, eps=eps, scale=scale,
+                              chunk_size=chunk_size),
+            grid=(b,),
+            in_specs=[img, img, img, rep(ln_s), rep(ln_b), rep(wqkv),
+                      rep(bqkv), rep(wproj)],
+            out_specs=out_specs, out_shape=out_shape,
+            scratch_shapes=scratch[:1],        # no attn scratch needed
+            compiler_params=cp, cost_estimate=cost, interpret=interpret,
+        )(x, g, attn_saved, ln_s, ln_b, wqkv, bqkv, wproj)
+    elif qkv_saved is not None:
         outs = pl.pallas_call(
             functools.partial(_bwd_kernel_saved, n_heads=n_heads,
                               n_real=n_real, eps=eps, scale=scale),
@@ -341,16 +413,18 @@ def _bwd_pallas(x, g, weights, n_heads, n_real, eps, scale,
             in_specs=[img, img, img3, rep(ln_s), rep(ln_b), rep(wqkv),
                       rep(bqkv), rep(wproj)],
             out_specs=out_specs, out_shape=out_shape,
+            scratch_shapes=scratch,
             compiler_params=cp, cost_estimate=cost, interpret=interpret,
         )(x, g, qkv_saved, ln_s, ln_b, wqkv, bqkv, wproj)
     else:
         outs = pl.pallas_call(
             functools.partial(_bwd_kernel, n_heads=n_heads, n_real=n_real,
-                              eps=eps, scale=scale),
+                              eps=eps, scale=scale, chunk_size=chunk_size),
             grid=(b,),
             in_specs=[img, img, rep(ln_s), rep(ln_b), rep(wqkv),
                       rep(bqkv), rep(wproj)],
             out_specs=out_specs, out_shape=out_shape,
+            scratch_shapes=scratch,
             compiler_params=cp, cost_estimate=cost, interpret=interpret,
         )(x, g, ln_s, ln_b, wqkv, bqkv, wproj)
     return outs            # dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj
@@ -580,13 +654,14 @@ def _core(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, n_heads, eps, n_real,
 def _core_fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, n_heads, eps,
               n_real, save_acts):
     if save_acts and _available():
-        # stream qkv out of the forward; the backward then skips its
-        # [N, D] x [D, 3D] recompute matmul (see _fwd_kernel_save)
+        # stream an activation slab out of the forward; the backward then
+        # skips the matching recompute ("qkv": the [N, D] x [D, 3D]
+        # matmul; "attn": the six p @ v head matmuls — see _fwd_kernel)
         scale = (x.shape[-1] // n_heads) ** -0.5
-        out, qkv = _fwd_pallas(
+        out, extra = _fwd_pallas(
             x, (ln_s, ln_b, wqkv, bqkv, wproj, bproj), n_heads, n_real,
-            eps, scale, want_qkv=True)
-        return out, (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, qkv)
+            eps, scale, want=("attn" if save_acts == "attn" else "qkv"))
+        return out, (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, extra)
     out = _core(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, n_heads, eps,
                 n_real, save_acts)
     return out, (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, None)
@@ -595,12 +670,15 @@ def _core_fwd(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, n_heads, eps,
 def _core_bwd(n_heads, eps, n_real, save_acts, res, g):
     import os
 
-    x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, qkv_saved = res
+    x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, saved = res
     if _available() and not os.environ.get("SOD_FUSED_ATTN_XLA_BWD"):
         scale = (x.shape[-1] // n_heads) ** -0.5
+        qkv_saved = saved if save_acts == "qkv" else None
+        attn_saved = saved if save_acts == "attn" else None
         dx, dls, dlb, dwqkv, dbqkv, dwproj, dbproj = _bwd_pallas(
             x, g.astype(x.dtype), (ln_s, ln_b, wqkv, bqkv, wproj, bproj),
-            n_heads, n_real, eps, scale, qkv_saved=qkv_saved)
+            n_heads, n_real, eps, scale, qkv_saved=qkv_saved,
+            attn_saved=attn_saved)
         return (dx.astype(x.dtype), dls.astype(ln_s.dtype),
                 dlb.astype(ln_b.dtype), dwqkv.astype(wqkv.dtype),
                 dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
@@ -628,15 +706,20 @@ def _prep_weights(attn_p: dict, ln_p: dict):
 
 def fused_ln_attn(x: jax.Array, attn_params: dict, ln_params: dict,
                   n_heads: int, eps: float = 1e-6,
-                  save_acts: bool = False) -> jax.Array:
+                  save_acts: bool = False,
+                  save_attn: bool = False) -> jax.Array:
     """``x + proj(MHSA(LN(x)))`` with Pallas forward AND backward.
 
     :param x: [B, N, D] tokens.
     :param attn_params: {"qkv": {w, b}, "proj": {w, b}} ((in, out) layout).
     :param ln_params: {"scale", "bias"}.
-    :param save_acts: train fast path — the forward streams qkv to HBM
-        (bf16) so the backward skips its recompute matmul.  Off by
-        default (inference shouldn't pay the extra write).
+    :param save_acts: the forward streams qkv to HBM (bf16) so the
+        backward skips its recompute matmul — measured SLOWER on v5e
+        (docs/PERFORMANCE.md), kept for other chips/shapes.
+    :param save_attn: train fast path (round 4) — the forward streams the
+        pre-projection attention output instead (3x smaller than qkv),
+        sparing the backward its six 64-wide ``p @ v`` recompute matmuls
+        per image.  Off by default (inference shouldn't pay the write).
 
     Tokens are padded to a 128 multiple internally; padded keys are masked
     and padded rows carry zero gradient.  Falls back to the identical-math
@@ -655,7 +738,8 @@ def fused_ln_attn(x: jax.Array, attn_params: dict, ln_params: dict,
     xp = x
     if n_pad != n:
         xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
-    out = _core(xp, *weights, n_heads, eps, n, save_acts)
+    mode = "attn" if save_attn else ("qkv" if save_acts else False)
+    out = _core(xp, *weights, n_heads, eps, n, mode)
     return out[:, :n] if n_pad != n else out
 
 

@@ -7,6 +7,7 @@ gradient all-reduce is inserted by XLA (``sod_tpu.parallel``).
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -16,6 +17,33 @@ import optax
 from sod_tpu.config import Config
 from sod_tpu.losses.criterion import criterion_forward
 from sod_tpu.models.maskformer import MaskFormerConfig, config_from, maskformer_apply
+
+
+def _jit_train(fn, micro_batch: int = 0):
+    """jit; on TPU, big batches get a raised scoped-VMEM limit.
+
+    XLA grants the B>=48 train program only 16.00 MB of scoped VMEM for
+    Pallas stack allocations (vs 20.59 MB at B<=32 — the limit shrinks
+    as more HBM buffers go live), which the round-4 backward's [N, 3D]
+    weight-grad scratch exceeds by ~1-2 MB at any chunk size (17.88 MB
+    at chunk 256, 16.48 even at 64).  Raising the per-compile limit to
+    the ~20 MB the B=32 program already enjoys keeps ONE kernel shape
+    for every batch size (B=64 measured 436 img/s vs r3's 400).  B<=32
+    keeps the compiler default — its natural budget suffices.  Override
+    or disable with SOD_SCOPED_VMEM_KIB (0 = compiler default).
+    """
+    import os
+
+    kib = int(os.environ.get("SOD_SCOPED_VMEM_KIB",
+                             20480 if micro_batch >= 48 else 0))
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if on_tpu and kib > 0:
+        return jax.jit(fn, compiler_options={
+            "xla_tpu_scoped_vmem_limit_kib": kib})
+    return jax.jit(fn)
 
 
 def make_train_step(cfg: Config, tx: optax.GradientTransformation,
@@ -85,8 +113,9 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
 
     from sod_tpu.models.resnet import merge_bn_stats
 
+    micro_b = max(1, cfg.batch_size // max(1, accum_steps))
     if accum_steps <= 1:
-        @jax.jit
+        @functools.partial(_jit_train, micro_batch=micro_b)
         def train_step(params, opt_state, batch):
             (loss, (res, bn_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, batch)
@@ -97,7 +126,7 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
 
         return train_step
 
-    @jax.jit
+    @functools.partial(_jit_train, micro_batch=micro_b)
     def train_step_accum(params, opt_state, batch):
         def micro(b):
             return jax.tree.map(

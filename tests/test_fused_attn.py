@@ -112,7 +112,7 @@ def test_saved_qkv_bwd_interpret_matches_autodiff(rng):
     bf_weights = [w.astype(jnp.bfloat16) for w in weights]
     out_save, qkv = _fwd_pallas(xp.astype(jnp.bfloat16), bf_weights,
                                 n_heads, n_real, eps, scale,
-                                interpret=True, want_qkv=True)
+                                interpret=True, want="qkv")
     out_plain = _fwd_pallas(xp.astype(jnp.bfloat16), bf_weights, n_heads,
                             n_real, eps, scale, interpret=True)
     np.testing.assert_array_equal(np.asarray(out_save, np.float32),
@@ -127,6 +127,60 @@ def test_saved_qkv_bwd_interpret_matches_autodiff(rng):
         x, *weights)
     ref = vjp(g)
     names = ("dx", "dls", "dlb", "dwqkv", "dbqkv", "dwproj", "dbproj")
+    np.testing.assert_allclose(np.asarray(got[0][:, :n_real]),
+                               np.asarray(ref[0]), atol=3e-2, rtol=3e-2,
+                               err_msg="dx")
+    for o, r, name in zip(got[1:], ref[1:], names[1:]):
+        np.testing.assert_allclose(
+            np.asarray(o, np.float32), np.asarray(r, np.float32),
+            atol=3e-2, rtol=3e-2, err_msg=name)
+
+
+def test_saved_attn_bwd_interpret_matches_autodiff(rng):
+    """The round-4 save-attn variant (forward streams the pre-projection
+    attention output, backward skips the p@v recompute) produces the same
+    gradients as autodiff of the twin, and the streamed slab matches the
+    no-save kernel's recompute exactly."""
+    d, n_heads = 32, 2
+    attn, ln = _params(11, d=d, n_heads=n_heads)
+    weights = tuple(_prep_weights(attn, ln))
+    eps, scale = 1e-6, (d // n_heads) ** -0.5
+
+    n_real, n_pad = 100, 128
+    x = jnp.asarray(rng.randn(2, n_real, d), jnp.float32)
+    g = jnp.asarray(rng.randn(2, n_real, d), jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (0, n_pad - n_real), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (0, n_pad - n_real), (0, 0)))
+
+    bf_weights = [w.astype(jnp.bfloat16) for w in weights]
+    out_save, attn_slab = _fwd_pallas(xp.astype(jnp.bfloat16), bf_weights,
+                                      n_heads, n_real, eps, scale,
+                                      interpret=True, want="attn")
+    out_plain = _fwd_pallas(xp.astype(jnp.bfloat16), bf_weights, n_heads,
+                            n_real, eps, scale, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_save, np.float32),
+                                  np.asarray(out_plain, np.float32))
+    assert attn_slab.shape == (2, n_pad, d)
+    assert attn_slab.dtype == jnp.bfloat16
+
+    # saved-slab backward == no-save backward (bit-wise: the slab holds
+    # exactly what the backward would recompute — both start from the
+    # same bf16 x, as in the real train path) == autodiff of the twin
+    xb, gb = xp.astype(jnp.bfloat16), gp.astype(jnp.bfloat16)
+    got = _bwd_pallas(xb, gb, weights, n_heads, n_real, eps, scale,
+                      interpret=True, attn_saved=attn_slab)
+    got_plain = _bwd_pallas(xb, gb, weights, n_heads, n_real, eps, scale,
+                            interpret=True)
+    names = ("dx", "dls", "dlb", "dwqkv", "dbqkv", "dwproj", "dbproj")
+    for o, o2, name in zip(got, got_plain, names):
+        np.testing.assert_array_equal(np.asarray(o, np.float32),
+                                      np.asarray(o2, np.float32),
+                                      err_msg=name)
+    ref_out, vjp = jax.vjp(
+        lambda x_, a, b, c, dd, e, f: _reference_forward(
+            x_, a, b, c, dd, e, f, n_heads, eps),
+        x, *weights)
+    ref = vjp(g)
     np.testing.assert_allclose(np.asarray(got[0][:, :n_real]),
                                np.asarray(ref[0]), atol=3e-2, rtol=3e-2,
                                err_msg="dx")
