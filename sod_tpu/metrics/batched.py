@@ -23,11 +23,15 @@ def _rect(shape, h, w):
 
 def rect_metrics(pred: jax.Array, gt: jax.Array, h, w,
                  beta_square: float = 0.3, n_bins: int = 255,
-                 eps: float = 1e-7) -> Dict[str, jax.Array]:
+                 eps: float = 1e-7, tp_cnt=None) -> Dict[str, jax.Array]:
     """All evaluator metrics for ONE canvas pair restricted to (h, w).
 
     :param pred: [H, W] float in [0, 1] (canvas; anything outside (h, w) is
         ignored).  :param gt: [H, W] binary.
+    :param tp_cnt: optional precomputed ([n_bins], [n_bins]) threshold-
+        sweep accumulators from ``ops.fsweep.fmax_tp_cnt`` (integer-exact
+        == the dense sweep below, so f_max is bit-equal); the canvas
+        evaluator passes them to avoid the bandwidth-bound dense sweep.
     :return: iou, pixel_acc, f_measure, f_max, f_mean, mae, s_measure.
     """
     valid = _rect(pred.shape, h, w)
@@ -62,11 +66,18 @@ def rect_metrics(pred: jax.Array, gt: jax.Array, h, w,
     # loops this per image, metrics/f_measure.py:62-80).  Measured on v5e
     # at canvas scale this VPU-friendly formulation runs ~12 ms/batch;
     # histogram-scatter and sort/cumsum reformulations compile faster but
-    # run 20-35x slower (TPU scatters/sorts), so the dense sweep stays.
-    thresholds = jnp.arange(n_bins, dtype=jnp.float32) / n_bins
-    binary = (predv[None] > thresholds[:, None, None]) & valid[None]
-    tp = (binary & gt_b[None]).sum(axis=(-1, -2)).astype(jnp.float32)
-    prec = tp / (binary.sum(axis=(-1, -2)) + eps)
+    # run 20-35x slower (TPU scatters/sorts).  The canvas evaluator
+    # precomputes (tp, cnt) in ONE Pallas pass over the selected masks
+    # (``ops.fsweep``) — identical integer counts, one HBM read instead
+    # of three [255, H, W] slabs per mask.
+    if tp_cnt is None:
+        thresholds = jnp.arange(n_bins, dtype=jnp.float32) / n_bins
+        binary = (predv[None] > thresholds[:, None, None]) & valid[None]
+        tp = (binary & gt_b[None]).sum(axis=(-1, -2)).astype(jnp.float32)
+        prec = tp / (binary.sum(axis=(-1, -2)) + eps)
+    else:
+        tp, cnt = tp_cnt
+        prec = tp / (cnt + eps)
     rec = tp / (gt_b.sum() + eps)
     f_max = f(prec, rec).max()
 
@@ -125,17 +136,31 @@ def eval_batch_metrics(pred_masks: jax.Array, objectness: jax.Array,
     :return: {metric: [B]} for the 7 metrics x {selected, _ub} plus the
         chosen indices.
     """
-    def per_image(pm, obj, g, hw):
+    from sod_tpu.ops.fsweep import fmax_tp_cnt
+
+    H, W = pred_masks.shape[-2:]
+    sel_idx = jnp.argmax(objectness, axis=1)   # ref evaluator pyc 219-221
+    ub_idx = jax.vmap(
+        lambda pm, g, hw: upper_bound_index(pm, g, hw[0], hw[1], cost_type)
+    )(pred_masks, gt, sizes)
+    pair = jnp.stack([sel_idx, ub_idx], axis=1)            # [B, 2]
+    both = jnp.take_along_axis(pred_masks, pair[:, :, None, None],
+                               axis=1)                     # [B, 2, H, W]
+    # the 255-threshold sweep for the two masks that need it, fused into
+    # one single-HBM-pass Pallas kernel on TPU (bit-equal counts)
+    rowv = jnp.arange(H)[None, :] < sizes[:, :1]
+    colv = jnp.arange(W)[None, :] < sizes[:, 1:2]
+    tp, cnt = fmax_tp_cnt(both, gt, rowv, colv)            # [B, 2, 255]
+
+    def per_image(pm2, g, hw, tp2, cnt2):
         h, w = hw[0], hw[1]
-        sel_idx = jnp.argmax(obj)              # ref evaluator pyc 219-221
-        ub_idx = upper_bound_index(pm, g, h, w, cost_type)
-        sel = pm[sel_idx]
-        ub = pm[ub_idx]
-        out = rect_metrics(sel, g, h, w)
-        for k, v in rect_metrics(ub, g, h, w).items():
+        out = rect_metrics(pm2[0], g, h, w, tp_cnt=(tp2[0], cnt2[0]))
+        for k, v in rect_metrics(pm2[1], g, h, w,
+                                 tp_cnt=(tp2[1], cnt2[1])).items():
             out[f"{k}_ub"] = v
-        out["selected_index"] = sel_idx
-        out["ub_index"] = ub_idx
         return out
 
-    return jax.vmap(per_image)(pred_masks, objectness, gt, sizes)
+    out = jax.vmap(per_image)(both, gt, sizes, tp, cnt)
+    out["selected_index"] = sel_idx
+    out["ub_index"] = ub_idx
+    return out

@@ -97,3 +97,58 @@ def test_eval_batch_metrics_shapes(rng):
     assert out["f_max_ub"].shape == (B,)
     # UB >= selected on the UB criterion
     assert (np.asarray(out["iou_ub"]) >= np.asarray(out["iou"]) - 1e-6).all()
+
+
+def test_fsweep_kernel_matches_dense(rng):
+    """ops.fsweep (interpret-mode Pallas + XLA twin) vs the dense
+    rect_metrics sweep: integer-exact tp/cnt and bit-equal f_max."""
+    from sod_tpu.ops.fsweep import fmax_tp_cnt
+
+    B, M, H, W = 2, 2, 40, 48
+    masks = rng.rand(B, M, H, W).astype(np.float32)
+    gt = (rng.rand(B, H, W) > 0.6).astype(np.float32)
+    sizes = np.asarray([[33, 41], [40, 48]], np.int32)
+    rowv = np.arange(H)[None, :] < sizes[:, :1]
+    colv = np.arange(W)[None, :] < sizes[:, 1:2]
+
+    for interpret in (True, False):   # Pallas interpret vs XLA twin
+        tp, cnt = fmax_tp_cnt(jnp.asarray(masks), jnp.asarray(gt),
+                              jnp.asarray(rowv), jnp.asarray(colv),
+                              interpret=interpret)
+        assert tp.shape == cnt.shape == (B, M, 255)
+        # dense reference counts per image/mask
+        thr = np.arange(255, dtype=np.float32) / 255
+        for b in range(B):
+            h, w = sizes[b]
+            valid = np.zeros((H, W), bool)
+            valid[:h, :w] = True
+            gtb = (gt[b] > 0) & valid
+            for m in range(M):
+                pv = np.where(valid, masks[b, m], 0.0)
+                binary = (pv[None] > thr[:, None, None]) & valid[None]
+                ref_tp = (binary & gtb[None]).sum((1, 2))
+                ref_cnt = binary.sum((1, 2))
+                np.testing.assert_array_equal(np.asarray(tp[b, m]), ref_tp)
+                np.testing.assert_array_equal(np.asarray(cnt[b, m]), ref_cnt)
+
+
+def test_eval_batch_metrics_fmax_bitequal_to_rect_metrics(rng):
+    """The restructured eval_batch_metrics (fsweep path) must be
+    BIT-equal to per-image rect_metrics with the dense sweep
+    (VERDICT r3 next-round item 2's acceptance)."""
+    B, Q, H, W = 3, 5, 40, 40
+    pred = jnp.asarray(rng.rand(B, Q, H, W).astype(np.float32))
+    obj = jnp.asarray(rng.rand(B, Q).astype(np.float32))
+    gt = jnp.asarray((rng.rand(B, H, W) > 0.6).astype(np.float32))
+    sizes = jnp.asarray(np.asarray([[30, 35], [40, 40], [21, 33]], np.int32))
+    out = eval_batch_metrics(pred, obj, gt, sizes)
+    for b in range(B):
+        h, w = int(sizes[b, 0]), int(sizes[b, 1])
+        sel = int(out["selected_index"][b])
+        ub = int(out["ub_index"][b])
+        ref_sel = rect_metrics(pred[b, sel], gt[b], h, w)
+        ref_ub = rect_metrics(pred[b, ub], gt[b], h, w)
+        for k, v in ref_sel.items():
+            assert float(out[k][b]) == float(v), (k, b)
+        for k, v in ref_ub.items():
+            assert float(out[f"{k}_ub"][b]) == float(v), (k, b)
