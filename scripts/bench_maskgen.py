@@ -62,13 +62,14 @@ def main():
                         patch_size=args.patch_size,
                         batch_size=args.batch)
 
-    # warmup: compile extract + cluster programs on a small slice
+    # warmup: compile extract+cluster programs on a small slice
     t0 = time.perf_counter()
     gen.extract_candidate_masks(paths[: args.batch])
     print(f"compile+warmup: {time.perf_counter() - t0:.1f}s "
-          f"({len(args.feature_types)} backbones x "
-          f"{len(args.cluster_sizes)} cluster programs)", flush=True)
+          f"({len(args.feature_types)} backbones, one program each)",
+          flush=True)
 
+    # stage split (unpipelined): candidate extraction, then vote/RLE
     t0 = time.perf_counter()
     candidates = gen.extract_candidate_masks(paths)
     t_extract = time.perf_counter() - t0
@@ -93,9 +94,17 @@ def main():
           f"{n / t_extract:6.2f} img/s", flush=True)
     print(f"filter+vote+RLE  (host):  {t_vote:7.1f}s  "
           f"{n / t_vote:6.2f} img/s", flush=True)
-    print(f"END-TO-END: {n} images, {len(args.feature_types)} backbones, "
-          f"k={args.cluster_sizes}: {total:.1f}s  {n / total:6.2f} img/s",
-          flush=True)
+    print(f"staged total: {total:.1f}s  {n / total:6.2f} img/s", flush=True)
+
+    # the REAL pipelined path: __call__ overlaps host vote/RLE with the
+    # next batch's device work (round 4)
+    t0 = time.perf_counter()
+    out2 = gen(paths)
+    t_pipe = time.perf_counter() - t0
+    assert out2.keys() == out.keys()
+    print(f"END-TO-END (pipelined __call__): {n} images, "
+          f"{len(args.feature_types)} backbones, k={args.cluster_sizes}: "
+          f"{t_pipe:.1f}s  {n / t_pipe:6.2f} img/s", flush=True)
     print(f"wrote {args.fp} ({len(out)} masks)", flush=True)
 
 

@@ -104,10 +104,25 @@ class MaskGenerator:
             self._params[feature_type] = resnet50_init(rng)
         return self._params[feature_type]
 
-    def _extract_fn(self, feature_type: str):
+    def _extract_cluster_fn(self, feature_type: str):
+        """ONE jitted program per backbone: uint8 batch -> {k: labels}.
+
+        Round 3 ran extract and cluster as separate dispatches per
+        (feature_type, batch), decoded every JPEG three times (one
+        DataLoader pass per backbone) and shipped host-normalized float32
+        — then round-tripped the label grids through the device again for
+        a nearest upsample.  Now: decode once, ship uint8 once (4x less
+        transfer), normalize on device, extract + spectral-cluster in one
+        program, and fetch only the tiny [B, G, G] label grids.
+        """
         if feature_type in self._extractors:
             return self._extractors[feature_type]
         s = self.scale_factor
+        ks = tuple(self.cluster_sizes)
+        seed = self.seed
+        spectral = self.cluster_type == "spectral"
+
+        from sod_tpu.data.augment import normalize_device
 
         if feature_type == "dino":
             from sod_tpu.models.vit import vit_apply, vit_small
@@ -115,8 +130,7 @@ class MaskGenerator:
             cfg = vit_small(patch_size=self.patch_size)
             grid = self.image_size // self.patch_size
 
-            @jax.jit
-            def extract(params, x):
+            def features(params, x):
                 tokens = vit_apply(params, x, cfg, all_layers=False)
                 feats = tokens[:, 1:, :]                    # layer12 patches
                 b, n, d = feats.shape
@@ -126,29 +140,15 @@ class MaskGenerator:
         else:
             from sod_tpu.models.resnet import resnet50_apply
 
-            @jax.jit
-            def extract(params, x):
+            def features(params, x):
                 f = resnet50_apply(params, x)["res5"]       # [B, h, w, C]
                 f = f.transpose(0, 3, 1, 2)
                 f = interpolate_bilinear(f, f.shape[-2] * s, f.shape[-1] * s)
                 return f.transpose(0, 2, 3, 1)
 
-        self._extractors[feature_type] = extract
-        return extract
-
-    def _cluster_all_fn(self):
-        """ONE jitted program returning labels for EVERY cluster size —
-        the spectral path shares a single eigendecomposition across k in
-        {2, 3, 4} (round 2 solved it per k: 3x redundant eigensolves)."""
-        key = ("all", tuple(self.cluster_sizes))
-        if key in self._cluster_fns:
-            return self._cluster_fns[key]
-        ks = tuple(self.cluster_sizes)
-        seed = self.seed
-        spectral = self.cluster_type == "spectral"
-
         @jax.jit
-        def run(feats):                      # [B, G, G, D]
+        def run(params, u8):
+            feats = features(params, normalize_device(u8))
             b, gh, gw, d = feats.shape
             flat = feats.reshape(b, gh * gw, d)
             if spectral:
@@ -158,53 +158,91 @@ class MaskGenerator:
                 labels = tuple(
                     jax.vmap(lambda f, k=k: kmeans(f, k, seed=seed))(flat)
                     for k in ks)
-            return {k: lab.reshape(b, gh, gw)
+            return {k: lab.reshape(b, gh, gw).astype(jnp.int32)
                     for k, lab in zip(ks, labels)}
 
-        self._cluster_fns[key] = run
+        self._extractors[feature_type] = run
         return run
+
+    def _upsample_labels(self, lab: np.ndarray) -> np.ndarray:
+        """Nearest-upsample a [G_h, G_w] label grid to the image size on
+        HOST.  For exact integer factors ``np.repeat`` equals torch
+        nearest (src index = floor(dst*G/S) = dst // factor), so this is
+        bit-identical to the round-3 device round trip; non-integer
+        grids fall back to the torch-matrix path."""
+        gh, gw = lab.shape
+        S = self.image_size
+        fh, fw = S // gh, S // gw
+        if fh * gh == S and fw * gw == S:
+            return np.repeat(np.repeat(lab, fh, axis=0), fw, axis=1)
+        return np.asarray(interpolate_nearest(
+            jnp.asarray(lab[None, None].astype(np.float32)), S, S)
+        )[0, 0].astype(lab.dtype)
+
+    def _iter_candidate_stacks(self, p_images: List[str]):
+        """Yield ``(p_img, [n_candidates, H, W] uint8)`` per image, with a
+        one-batch device/host pipeline: batch i+1's extract+cluster
+        programs for ALL backbones are dispatched (async) before batch
+        i's labels are fetched and its host work runs, so voting/RLE
+        overlaps device compute."""
+        ds = CustomDataset(p_images, image_size=self.image_size,
+                           square=True, raw_uint8=True)
+        loader = DataLoader(ds, batch_size=self.batch_size,
+                            shuffle=False, num_workers=4)
+        params = {ft: self._get_params(ft) for ft in self.feature_types}
+        fns = {ft: self._extract_cluster_fn(ft)
+               for ft in self.feature_types}
+
+        def finalize(pending):
+            samples, results = pending
+            labels_np = {(ft, k): np.asarray(results[ft][k])
+                         for ft in self.feature_types
+                         for k in self.cluster_sizes}
+            for i, smp in enumerate(samples):
+                cands: List[np.ndarray] = []
+                for ft in self.feature_types:
+                    for k in self.cluster_sizes:
+                        up = self._upsample_labels(labels_np[(ft, k)][i])
+                        cands.extend((up == c).astype(np.uint8)
+                                     for c in range(k))
+                yield smp["p_img"], np.stack(cands, 0)
+
+        pending = None
+        for samples in loader:
+            x = jnp.asarray(np.stack([s["image_u8"] for s in samples]))
+            # dispatch all backbones for THIS batch (async through the
+            # tunnel) before paying the fetch for the previous one
+            results = {ft: fns[ft](params[ft], x)
+                       for ft in self.feature_types}
+            if pending is not None:
+                yield from finalize(pending)
+            pending = (samples, results)
+        if pending is not None:
+            yield from finalize(pending)
 
     # ------------------------------------------------------------------
     def extract_candidate_masks(self, p_images: List[str]) -> Dict[str, np.ndarray]:
-        """filename -> [n_candidates, H, W] uint8 candidate stacks."""
-        per_image: Dict[str, List[np.ndarray]] = {}
-        for ft in self.feature_types:
-            params = self._get_params(ft)
-            extract = self._extract_fn(ft)
-            ds = CustomDataset(p_images, image_size=self.image_size,
-                               square=True)
-            loader = DataLoader(ds, batch_size=self.batch_size,
-                                shuffle=False, num_workers=4)
-            cluster_all = self._cluster_all_fn()
-            for samples in loader:
-                x = np.stack([s["image"] for s in samples])
-                feats = extract(params, jnp.asarray(x))
-                all_labels = cluster_all(feats)      # {k: [B, G, G]}
-                for k in self.cluster_sizes:
-                    labels = np.asarray(all_labels[k])
-                    up = np.asarray(interpolate_nearest(
-                        jnp.asarray(labels[:, None].astype(np.float32)),
-                        self.image_size, self.image_size))[:, 0]
-                    for i, s in enumerate(samples):
-                        cands = [(up[i] == c).astype(np.uint8)
-                                 for c in range(k)]
-                        # pooled by FULL path — distinct images sharing a
-                        # basename must not vote across each other (the
-                        # output JSON is keyed by basename like the ref's)
-                        per_image.setdefault(s["p_img"], []).extend(cands)
-        return {k: np.stack(v, 0) for k, v in per_image.items()}
+        """filename -> [n_candidates, H, W] uint8 candidate stacks.
+
+        Candidates are pooled by FULL path — distinct images sharing a
+        basename must not vote across each other (the output JSON is
+        keyed by basename like the ref's)."""
+        return dict(self._iter_candidate_stacks(p_images))
 
     # ------------------------------------------------------------------
+    def _vote_one(self, stack: np.ndarray) -> np.ndarray:
+        filtered, _ = filter_masks(stack, remove_long_masks=True,
+                                   remove_small_large_masks=True)
+        return filtered[vote_mask(filtered)]
+
     def __call__(self, p_images: List[str]) -> Dict[str, dict]:
-        """Generate ``{filename: COCO-RLE}`` for a list of image paths."""
-        candidates = self.extract_candidate_masks(p_images)
+        """Generate ``{filename: COCO-RLE}`` for a list of image paths.
+        Host-side filter/vote/RLE runs per image as its batch completes,
+        overlapped with the next batch's device work."""
         out = {}
-        for path, stack in candidates.items():
-            filtered, _ = filter_masks(stack, remove_long_masks=True,
-                                       remove_small_large_masks=True)
-            winner = filtered[vote_mask(filtered)]
+        for path, stack in self._iter_candidate_stacks(p_images):
             out[os.path.basename(path)] = rle_codec.encode(
-                winner.astype(np.uint8))
+                self._vote_one(stack).astype(np.uint8))
         return out
 
     def dump(self, p_images: List[str], fp: str) -> None:
