@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, Optional, Tuple, Union
 
 import yaml
 
@@ -97,8 +97,17 @@ class Config:
                                       # recompute VJP of the unfused block)
     mesh_data_axis: int = 1           # data-parallel mesh size (1 = single chip)
     max_gt_masks: int = 8             # static padding for ragged pseudo-mask stacks
-    micro_batch: bool = True          # serving: batch concurrent /predict
-                                      # requests into one device dispatch
+    micro_batch: Union[bool, str] = "auto"  # serving: batch concurrent
+                                      # /predict requests into one device
+                                      # dispatch.  True/False force it;
+                                      # "auto" (default) probes the
+                                      # host<->device link at boot and
+                                      # batches only where it wins — on
+                                      # this box's axon tunnel one padded
+                                      # B=8 upload serializes on the slow
+                                      # link and batching INVERTS
+                                      # (docs/PERFORMANCE.md), while on a
+                                      # locally-attached chip it is 3x
     micro_batch_buckets: Tuple[int, ...] = (1, 8)  # compiled batch sizes
     micro_batch_wait_ms: float = 3.0  # max co-arrival wait per batch
     train_ship_uint8: bool = True     # loader ships augmented images as

@@ -288,20 +288,87 @@ class SelfMaskInference:
         self._prep = prep
         self._compute = compute
         self._batcher: Optional[MicroBatcher] = None
-        if getattr(cfg, "micro_batch", False):
-            self._batcher = MicroBatcher(
-                self,
-                buckets=tuple(getattr(cfg, "micro_batch_buckets", (1, 8))),
-                max_wait_ms=getattr(cfg, "micro_batch_wait_ms", 3.0))
+        mb = getattr(cfg, "micro_batch", False)
+        buckets = tuple(sorted(getattr(cfg, "micro_batch_buckets", (1, 8))))
         if warmup:
             size = cfg.eval_image_size
             # compile every serving bucket at boot (cached by the JAX
             # compilation cache across restarts) so no request pays a
             # first-compile stall
-            buckets = self._batcher.buckets if self._batcher else (1,)
-            for b in buckets:
+            for b in (buckets if mb else (1,)):
                 self._forward(self.params, self._prep(
                     jnp.zeros((b, size, size, 3), jnp.uint8)))
+        if mb == "auto":
+            # boot-time measured policy (a static default is wrong on one
+            # of the two link regimes — docs/PERFORMANCE.md): probe only
+            # when the buckets are compiled, else stay per-request
+            use = self._probe_micro_batch(buckets) if warmup else False
+        else:
+            use = bool(mb)
+        if use:
+            self._batcher = MicroBatcher(
+                self, buckets=buckets,
+                max_wait_ms=getattr(cfg, "micro_batch_wait_ms", 3.0))
+
+    def _probe_micro_batch(self, buckets, clients: int = 16,
+                           per_client: int = 4, margin: float = 0.9) -> bool:
+        """Drive BOTH serving policies end-to-end — ``clients`` threads
+        each issuing ``per_client`` requests, once through direct B=1
+        dispatch and once through a real ``MicroBatcher`` — and enable
+        batching only when it is at least ``1/margin`` cheaper per image.
+
+        Nothing short of the end-to-end drive picks correctly on both
+        link regimes (docs/PERFORMANCE.md): through this box's axon
+        tunnel 16 concurrent B=1 dispatches pipeline to ~8 ms/img while
+        the batcher sustains only ~13.5 (126.2 vs 73.8 req/s measured),
+        yet dispatch-level probes said the opposite — a sequential B=1
+        loop measured 71 ms/img (the fetch blocks the next dispatch),
+        4-thread pipelining still measured 16.7, and a raw B=8 dispatch
+        looks 9.7 ms/img because it skips the batcher's co-arrival wait,
+        padding and queue overhead.  On a locally-attached chip (0.73
+        ms/img at B=8 vs 2.2 at B=1, 3.0x) batching wins end-to-end too,
+        so the probe compares exactly what the server will run."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        size = self.cfg.eval_image_size
+        big = max(buckets)
+        for b in (1, big):                             # warm + sync
+            m, o = self._forward(self.params, self._prep(
+                np.zeros((b, size, size, 3), np.uint8)))
+            np.asarray(m), np.asarray(o)
+        # HOST array: a request pays the host->device upload, and on a
+        # slow link that upload is precisely what makes one padded B=big
+        # transfer lose to pipelined B=1s (jnp.zeros would hide it)
+        x = np.zeros((size, size, 3), np.uint8)
+
+        def drive(submit) -> float:
+            def worker(_i):
+                for _ in range(per_client):
+                    submit(x)
+            with ThreadPoolExecutor(max_workers=clients) as pool:
+                t0 = time.perf_counter()
+                list(pool.map(worker, range(clients)))
+                return (time.perf_counter() - t0) / (clients * per_client)
+
+        def direct(arr):
+            m, o = self._forward(self.params, self._prep(arr[None]))
+            np.asarray(m), np.asarray(o)               # fetch = sync
+
+        single = drive(direct)
+        mb = MicroBatcher(self, buckets=buckets,
+                          max_wait_ms=getattr(self.cfg,
+                                              "micro_batch_wait_ms", 3.0))
+        try:
+            batched = drive(mb.submit)
+        finally:
+            mb.close()
+        use = batched < single * margin
+        print(f"[micro-batch probe] per-image cost, {clients} clients: "
+              f"per-request {single * 1e3:.2f} ms, micro-batched "
+              f"{batched * 1e3:.2f} ms "
+              f"-> {'batched' if use else 'per-request'} dispatch",
+              flush=True)
+        return use
 
     def _load_params(self, model_path: Optional[str]):
         if model_path is None:
