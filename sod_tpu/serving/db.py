@@ -17,6 +17,14 @@ from typing import Any, Iterable, List, Optional, Tuple
 _SCHEMA = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "schema.sql")
 
+# monotonic names for shared-cache :memory: databases.  id(self) is NOT
+# safe here: CPython reuses freed addresses, and a previous Database's
+# shared-cache store can outlive the object (worker threads keep
+# thread-local connections alive), so a recycled id would alias the new
+# database onto the old one's live data.
+_MEM_SEQ = iter(range(1 << 62))
+_MEM_SEQ_LOCK = threading.Lock()
+
 
 class Database:
     def __init__(self, path: str = ":memory:"):
@@ -30,7 +38,9 @@ class Database:
         self._uri = None
         self._anchor = None
         if path == ":memory:":
-            self._uri = f"file:sodmem{id(self)}?mode=memory&cache=shared"
+            with _MEM_SEQ_LOCK:
+                seq = next(_MEM_SEQ)
+            self._uri = f"file:sodmem{seq}?mode=memory&cache=shared"
             self._anchor = sqlite3.connect(self._uri, uri=True,
                                            check_same_thread=False)
         self.initialize()

@@ -136,6 +136,21 @@ class Trainer:
         # eval always clobbers best_model_* with a possibly-worse model
         best = (state.get("extra") or {}).get("best_scores") or {}
         self.best_scores.update({k: float(v) for k, v in best.items()})
+        # the latest_model checkpoint is written at the END of
+        # _train_epoch, BEFORE that epoch's eval — so its best_scores
+        # trail the best_model_* files on disk by one eval.  _evaluate
+        # writes the post-eval tracker to a sidecar; prefer it so a
+        # kill between the epoch-N checkpoint and the epoch-N+1 one
+        # cannot make a resumed run clobber a better best_model_*.
+        fp = os.path.join(self.dir_ckpt, "best_scores.json")
+        if os.path.isfile(fp):
+            import json
+
+            with open(fp) as f:
+                side = json.load(f)
+            for k, v in side.items():
+                if float(v) > self.best_scores.get(k, -1.0):
+                    self.best_scores[k] = float(v)
         if self.mesh is not None:
             rep = replicated(self.mesh)
             self.params = jax.device_put(self.params, rep)
@@ -245,6 +260,15 @@ class Trainer:
                     self.params, epoch=num_epoch, n_iters=self.n_iters_done)
         if all_metrics:
             self.logger.log(all_metrics, step=self.n_iters_done)
+        if self.best_scores and jax.process_index() == 0:
+            # post-eval tracker sidecar (see resume()); atomic so a kill
+            # mid-write leaves the previous epoch's file intact
+            import json
+
+            fp = os.path.join(self.dir_ckpt, "best_scores.json")
+            with open(fp + ".tmp", "w") as f:
+                json.dump(self.best_scores, f)
+            os.replace(fp + ".tmp", fp)
         return all_metrics
 
     # ------------------------------------------------------------------

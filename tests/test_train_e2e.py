@@ -105,6 +105,40 @@ def test_checkpoint_restore_roundtrip(workspace):
     assert "opt_state" in restored
 
 
+def test_best_scores_sidecar_survives_kill_window(workspace):
+    """The latest_model checkpoint is written BEFORE the epoch's eval, so
+    its best_scores trail by one eval; _evaluate writes a post-eval
+    sidecar that resume() must prefer — otherwise a kill between the
+    epoch-N checkpoint and the epoch-N+1 one makes the resumed run
+    clobber a better best_model_* (dress-rehearsal invariant)."""
+    cfg, mcfg = tiny_setup(workspace, suffix="sidecar")
+    trainer = Trainer(cfg, mcfg=mcfg)
+    trainer._train_epoch(1)          # checkpoint: best_scores == {}
+    trainer._evaluate(1)             # sidecar: best_scores == epoch-1 eval
+    assert trainer.best_scores.get("duts", 0) > 0
+    side = os.path.join(trainer.dir_ckpt, "best_scores.json")
+    assert os.path.isfile(side)
+
+    # a fresh trainer resuming from latest_model (whose extra carries the
+    # PRE-eval tracker) must still see the post-eval scores
+    t2 = Trainer(cfg, mcfg=mcfg)
+    nxt = t2.resume()
+    assert nxt == 2
+    assert t2.best_scores == trainer.best_scores
+
+    # max-merge: once a later checkpoint carries the tracker in its
+    # extra, a stale/lower sidecar must not win over it
+    import json as _json
+
+    best_after_e1 = trainer.best_scores["duts"]
+    trainer._train_epoch(2)          # checkpoint extra now has e1 scores
+    with open(side, "w") as f:
+        _json.dump({"duts": -0.5}, f)
+    t3 = Trainer(cfg, mcfg=mcfg)
+    assert t3.resume() == 3
+    assert t3.best_scores["duts"] == best_after_e1
+
+
 def test_train_loss_decreases(workspace):
     """A few steps on a fixed batch must reduce the loss (sanity that
     gradients flow through the whole model)."""
