@@ -152,6 +152,11 @@ def eval_batch_metrics(pred_masks: jax.Array, objectness: jax.Array,
     colv = jnp.arange(W)[None, :] < sizes[:, 1:2]
     tp, cnt = fmax_tp_cnt(both, gt, rowv, colv)            # [B, 2, 255]
 
+    return _pair_metrics(both, gt, sizes, sel_idx, ub_idx, tp, cnt)
+
+
+def _pair_metrics(both, gt, sizes, sel_idx, ub_idx, tp, cnt):
+    """Full metric suite for the [B, 2, H, W] (selected, UB) mask pairs."""
     def per_image(pm2, g, hw, tp2, cnt2):
         h, w = hw[0], hw[1]
         out = rect_metrics(pm2[0], g, h, w, tp_cnt=(tp2[0], cnt2[0]))
@@ -164,3 +169,71 @@ def eval_batch_metrics(pred_masks: jax.Array, objectness: jax.Array,
     out["selected_index"] = sel_idx
     out["ub_index"] = ub_idx
     return out
+
+
+def _ub_score(inter, cnt, gtsum, n, cost_type):
+    """Per-query UB score from binarized-mask counts — exactly the
+    quantities ``upper_bound_index`` computes from the materialized
+    canvas stack (on BINARY masks every cost reduces to these three
+    integers; see ``ops.fused_ub``).  Returns (scores [B, Q], take_max)."""
+    if cost_type == "iou":
+        return inter / (cnt + gtsum - inter + 1e-7), True
+    if cost_type in ("f_measure", "f_max"):
+        prec = inter / (cnt + 1e-7)
+        rec = inter / (gtsum + 1e-7)
+        b2 = 0.3 ** 2
+        return ((1 + b2) * prec * rec) / (b2 * prec + rec + 1e-7), True
+    if cost_type == "mae":
+        return (cnt + gtsum - 2.0 * inter) / n, False
+    raise ValueError(cost_type)
+
+
+def eval_batch_metrics_lowres(low_masks: jax.Array, objectness: jax.Array,
+                              gt: jax.Array, sizes: jax.Array,
+                              cost_type: str = "iou") -> Dict[str, jax.Array]:
+    """``eval_batch_metrics`` computed WITHOUT materializing the
+    x4-upsampled [B, Q, H, W] canvas stack (409 MB at B=32/Q=20/400 px).
+
+    The UB search needs only binarized-overlap counts per query, which
+    ``ops.fused_ub`` computes with the bilinear upsample done per query
+    in VMEM; only the two chosen masks are then upsampled for the full
+    metric suite — the same einsum path, though upsampling a [B, 2]
+    gather instead of all [B, Q] lets XLA batch the resize matmuls
+    differently, so continuous metrics can differ in the last float32
+    bit (integer threshold counts match; ``tests/test_fused_ub.py``).
+    Selection itself can differ only if a pixel lands EXACTLY on a 0.5
+    crossing whose float bits differ between the orders — see
+    ``ops/fused_ub.py``; wired under ``use_fused_eval``, the documented
+    fast eval mode.
+
+    :param low_masks: [B, Q, h0, w0] pre-upsample sigmoid masks.
+    :param gt: [B, H, W] binary canvas GT at H = 4*h0, W = 4*w0.
+    """
+    from sod_tpu.ops.fsweep import fmax_tp_cnt
+    from sod_tpu.ops.fused_ub import ub_inter_cnt
+    from sod_tpu.ops.resize import _resize_matrix, interpolate_bilinear
+
+    b, q, h0, w0 = low_masks.shape
+    H, W = gt.shape[-2:]
+    rowv = jnp.arange(H)[None, :] < sizes[:, :1]
+    colv = jnp.arange(W)[None, :] < sizes[:, 1:2]
+    wh = _resize_matrix(h0, H, "bilinear")                 # [H, h0]
+    wwt = _resize_matrix(w0, W, "bilinear").T              # [w0, W]
+
+    inter, cnt_q = ub_inter_cnt(low_masks.astype(jnp.float32), gt,
+                                rowv, colv, wh, wwt)       # [B, Q]
+    valid = rowv[:, :, None] & colv[:, None, :]
+    gtsum = jnp.sum((gt > 0) & valid, axis=(1, 2)).astype(jnp.float32)
+    n = (sizes[:, 0] * sizes[:, 1]).astype(jnp.float32)
+    scores, take_max = _ub_score(inter, cnt_q, gtsum[:, None], n[:, None],
+                                 cost_type)
+    ub_idx = (jnp.argmax(scores, axis=1) if take_max
+              else jnp.argmin(scores, axis=1))
+    sel_idx = jnp.argmax(objectness, axis=1)   # ref evaluator pyc 219-221
+
+    pair = jnp.stack([sel_idx, ub_idx], axis=1)            # [B, 2]
+    low_pair = jnp.take_along_axis(low_masks, pair[:, :, None, None],
+                                   axis=1)                 # [B, 2, h0, w0]
+    both = interpolate_bilinear(low_pair.astype(jnp.float32), H, W)
+    tp, cnt = fmax_tp_cnt(both, gt, rowv, colv)            # [B, 2, 255]
+    return _pair_metrics(both, gt, sizes, sel_idx, ub_idx, tp, cnt)

@@ -33,7 +33,7 @@ import numpy as np
 from sod_tpu.config import Config
 from sod_tpu.data import DataLoader, get_dataset
 from sod_tpu.metrics import AverageMeter
-from sod_tpu.metrics.batched import eval_batch_metrics
+from sod_tpu.metrics.batched import eval_batch_metrics, eval_batch_metrics_lowres
 from sod_tpu.models.maskformer import (
     MaskFormerConfig,
     config_from,
@@ -212,13 +212,22 @@ class Evaluator:
                 grid_sizes=grid_sizes,
                 fused=getattr(self.cfg, "use_fused_eval", False))
             masks = out["mask_pred"][:, -1].astype(jnp.float32)  # [B,Q,2G,2G]
-            # x4 bilinear upsample back to canvas resolution
-            # (ref evaluator pyc 209-211: F.interpolate(scale_factor=4))
-            h4, w4 = masks.shape[-2] * 4, masks.shape[-1] * 4
-            masks = interpolate_bilinear(masks, h4, w4)
             obj = out["objectness"][:, -1, :, 0].astype(jnp.float32)
-            metrics = eval_batch_metrics(masks, obj, gt, sizes,
-                                         cost_type=cost_type)
+            if getattr(self.cfg, "use_fused_eval", False):
+                # fast eval mode: the x4 upsample (ref evaluator pyc
+                # 209-211) happens per query in VMEM inside the
+                # UB-selection kernel and only the two chosen masks are
+                # materialized at canvas resolution (ops/fused_ub.py) —
+                # the [B, Q, H, W] canvas stack never touches HBM
+                metrics = eval_batch_metrics_lowres(masks, obj, gt, sizes,
+                                                    cost_type=cost_type)
+            else:
+                # x4 bilinear upsample back to canvas resolution
+                # (ref evaluator pyc 209-211: F.interpolate(scale_factor=4))
+                h4, w4 = masks.shape[-2] * 4, masks.shape[-1] * 4
+                up = interpolate_bilinear(masks, h4, w4)
+                metrics = eval_batch_metrics(up, obj, gt, sizes,
+                                             cost_type=cost_type)
             # small visualization payload: pre-upsample per-query masks as
             # uint8 — only device_get on every-vis_every batches, so the
             # (slow) tunnel transfer is paid rarely and the compiled
