@@ -1,15 +1,27 @@
-"""Benchmark: batched saliency inference throughput on one chip.
+"""Benchmark: the four product-surface throughputs on one chip.
 
-Measures images/sec for the flagship SelfMask-nq20 forward (ViT-S/8 encoder,
-785 tokens, 6-layer 20-query decoder, einsum mask head) at 224px in bf16
-with the Pallas flash-attention kernel — the BASELINE.json "batched DUTS-TE
-evaluation" configuration.  The baseline is PyTorch-CPU images/sec of an
-equivalent torch model (the reference targets an unspecified GPU and
+Headline: images/sec for the flagship SelfMask-nq20 forward (ViT-S/8
+encoder, 785 tokens, 6-layer 20-query decoder, einsum mask head) at 224px
+in bf16 with the Pallas fused-block kernel — the BASELINE.json "batched
+DUTS-TE evaluation" configuration.  The baseline is PyTorch-CPU images/sec
+of an equivalent torch model (the reference targets an unspecified GPU and
 publishes no throughput; BASELINE.md sets the north star at >= 5x
 torch-CPU per chip).  ``vs_baseline`` = tpu_ips / (5 * torch_cpu_ips), so
 1.0 == north-star parity.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  The headline keys keep the driver's contract
+({"metric", "value", "unit", "vs_baseline"}); the other three product
+surfaces ride along as extra fields (VERDICT r3 item 3 — the headline
+saturated in round 1, so round-over-round progress lives in these):
+
+    train_images_per_sec        full train step (fwd+loss+bwd+AdamW), B=32
+    canvas_eval_images_per_sec  Evaluator 400px canvas step, B=16, fused
+    maskgen_images_per_sec      pseudo-mask pipeline (3 backbones x k=2,3,4)
+
+Each metric runs in a FRESH subprocess, sequentially: a second large
+jitted program in one process degrades tunnel dispatch ~40x, and only one
+process may hold the TPU at a time (docs/PERFORMANCE.md methodology).  A
+metric that fails or times out reports null rather than killing the run.
 
 Note: through the axon tunnel ``block_until_ready`` does not actually wait,
 so timing fetches a scalar reduction to host to force completion.
@@ -200,9 +212,11 @@ def measure_train_ips(batch: int = 32) -> float:
     from sod_tpu.train.optim import build_optimizer
     from sod_tpu.train.step import make_train_step
 
-    # measured-best train config on v5e: flash fwd+bwd kernels + fused
-    # LN/MLP kernel; remat measured ~20% slower (memory lever only)
-    cfg = Config(batch_size=batch, use_fused_mlp=True)
+    # measured-best train config on v5e: BOTH block halves Pallas in both
+    # directions (use_fused_train: ops/fused_attn + ops/fused_mlp, 449
+    # img/s at B=32 after the r4 backward restructure); remat measured
+    # ~20% slower (memory lever only)
+    cfg = Config(batch_size=batch, use_fused_mlp=True, use_fused_train=True)
     mcfg = config_from(cfg)
     params = maskformer_init(jax.random.key(0), mcfg)
     tx = build_optimizer(cfg, n_iters_per_epoch=100)
@@ -233,39 +247,155 @@ def measure_train_ips(batch: int = 32) -> float:
     return batch * ITERS / (time.perf_counter() - t0)
 
 
+def measure_canvas_ips(batch: int = 16, canvas: int = 400,
+                       iters: int = 10) -> float:
+    """Evaluator canvas step (forward + x4 upsample + ALL metrics on
+    device) through the gridded fused pipeline — the per-epoch benchmark
+    eval cost (ref Evaluator pyc; `scripts/bench_canvas.py` sweeps)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from sod_tpu.config import Config
+    from sod_tpu.models.maskformer import config_from, maskformer_init
+    from sod_tpu.train.evaluator import Evaluator
+
+    cfg = Config(use_fused_eval=True)
+    mcfg = config_from(cfg)
+    params = maskformer_init(jax.random.key(0), mcfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                          if x.dtype == jnp.float32 else x, params)
+    with tempfile.TemporaryDirectory() as td:
+        duts = os.path.join(td, "DUTS")
+        for sub in ("DUTS-TE-Image", "DUTS-TE-Mask"):
+            os.makedirs(os.path.join(duts, sub))
+        Image.new("RGB", (64, 64)).save(
+            os.path.join(duts, "DUTS-TE-Image", "x.jpg"))
+        Image.new("L", (64, 64)).save(
+            os.path.join(duts, "DUTS-TE-Mask", "x.png"))
+        cfg.dir_dataset = td
+        step = Evaluator(params, cfg, mcfg)._eval_fn((canvas, canvas), "iou")
+
+    p = mcfg.vit.patch_size
+    rng = np.random.RandomState(0)
+    image = jnp.asarray((rng.rand(batch, canvas, canvas, 3) * 255)
+                        .astype(np.uint8))
+    gt = jnp.asarray((rng.rand(batch, canvas, canvas) > 0.7).astype(np.uint8))
+    hs = rng.randint(canvas // 2, canvas + 1, size=batch)
+    ws = rng.randint(canvas // 2, canvas + 1, size=batch)
+    grid = jnp.asarray(np.stack([-(-hs // p), -(-ws // p)], 1), jnp.int32)
+    sizes = jnp.asarray(np.stack([hs, ws], 1), jnp.int32)
+
+    out, _ = step(params, image, gt, grid, sizes)      # compile
+    float(jnp.sum(out["iou"]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, _ = step(params, image, gt, grid, sizes)
+    float(jnp.sum(out["iou"]))                         # sync via scalar
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def measure_maskgen_ips(n: int = 96, batch: int = 16) -> float:
+    """End-to-end pseudo-mask generation (decode -> 3-backbone
+    extract+cluster on device, host filter/vote/RLE overlapped under the
+    next batch's dispatch) — the reference's offline DUTS stage
+    (SURVEY §3.4; `scripts/bench_maskgen.py` has the stage split)."""
+    import numpy as np
+    from PIL import Image
+
+    from sod_tpu.data.mask_generator import MaskGenerator
+
+    root = "/tmp/sod_bench_maskgen_imgs"
+    os.makedirs(root, exist_ok=True)
+    paths = []
+    for i in range(n):
+        fp = os.path.join(root, f"img_{i:05d}.jpg")
+        if not os.path.isfile(fp):
+            r = np.random.RandomState(i)
+            h, w = int(r.randint(240, 420)), int(r.randint(300, 500))
+            im = (r.rand(h, w, 3) * 60).astype(np.uint8)
+            h0, w0 = r.randint(5, h // 2), r.randint(5, w // 2)
+            im[h0:h0 + h // 3, w0:w0 + w // 3] += 160
+            Image.fromarray(im).save(fp, quality=90)
+        paths.append(fp)
+
+    gen = MaskGenerator(cluster_sizes=[2, 3, 4], cluster_type="spectral",
+                        feature_types=["dino", "mocov2", "swav"],
+                        patch_size=16, batch_size=batch)
+    gen.extract_candidate_masks(paths[:batch])         # compile + warmup
+    t0 = time.perf_counter()
+    out = gen(paths)
+    dt = time.perf_counter() - t0
+    assert len(out) == n
+    return n / dt
+
+
+_SUBPROCESS_METRICS = {
+    # flag -> (measure fn, timeout seconds incl. cold-cache compile)
+    "--infer-only": (measure_tpu_ips, 900),
+    "--train-only": (measure_train_ips, 900),
+    "--canvas-only": (measure_canvas_ips, 1500),
+    "--maskgen-only": (measure_maskgen_ips, 1500),
+}
+
+
+def _run_metric_subprocess(flag: str):
+    """One metric in a fresh interpreter (one big program + one TPU client
+    per process).  Returns the measured float, or None on failure/timeout
+    — a broken sub-metric must not kill the headline line."""
+    import subprocess
+
+    _, timeout = _SUBPROCESS_METRICS[flag]
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__), flag],
+                           capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        print(f"bench {flag}: timed out after {timeout}s", file=sys.stderr)
+        return None
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    if r.returncode != 0 or not lines:
+        print(f"bench {flag}: failed rc={r.returncode}\n{r.stderr[-2000:]}",
+              file=sys.stderr)
+        return None
+    try:
+        return json.loads(lines[-1])["value"]
+    except Exception as e:
+        print(f"bench {flag}: bad output ({e})", file=sys.stderr)
+        return None
+
+
 def main():
-    if "--train-only" in sys.argv:     # subprocess entry (see below)
-        print(json.dumps({
-            "metric": "train_step_images_per_sec_per_chip",
-            "value": round(measure_train_ips(), 2),
-            "unit": "images/sec",
-            "vs_baseline": None,
-        }))
-        return
-    tpu_ips = measure_tpu_ips()
+    for flag, (fn, _) in _SUBPROCESS_METRICS.items():
+        if flag in sys.argv:           # subprocess entry
+            print(json.dumps({"metric": flag.strip("-"),
+                              "value": round(float(fn()), 2)}))
+            return
+
+    # the parent NEVER touches jax: only one process may hold the TPU, so
+    # every chip job runs (and exits) before the next one starts
+    tpu_ips = _run_metric_subprocess("--infer-only")
     try:
         cpu_ips = measure_torch_cpu_ips()
     except Exception as e:  # torch missing etc.
         print(f"torch baseline failed: {e}", file=sys.stderr)
         cpu_ips = float("nan")
-    vs = tpu_ips / (5.0 * cpu_ips) if cpu_ips == cpu_ips else None
+    vs = (tpu_ips / (5.0 * cpu_ips)
+          if tpu_ips is not None and cpu_ips == cpu_ips else None)
+    train_ips = _run_metric_subprocess("--train-only")
+    canvas_ips = _run_metric_subprocess("--canvas-only")
+    maskgen_ips = _run_metric_subprocess("--maskgen-only")
     print(json.dumps({
         "metric": "saliency_inference_images_per_sec_per_chip",
-        "value": round(tpu_ips, 2),
+        "value": round(tpu_ips, 2) if tpu_ips is not None else None,
         "unit": "images/sec",
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        "train_images_per_sec": train_ips,
+        "canvas_eval_images_per_sec": canvas_ips,
+        "maskgen_images_per_sec": maskgen_ips,
     }))
-    if "--train" in sys.argv:
-        # fresh subprocess: a second large jitted program in THIS process
-        # would measure ~7x slow (tunnel dispatch degradation)
-        import subprocess
-
-        r = subprocess.run([sys.executable, os.path.abspath(__file__),
-                            "--train-only"], capture_output=True, text=True)
-        lines = [ln for ln in r.stdout.splitlines()
-                 if ln.startswith("{")]
-        if lines:
-            print(lines[-1])
 
 
 if __name__ == "__main__":
