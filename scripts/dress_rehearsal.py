@@ -107,9 +107,13 @@ def build_corpus(root: str) -> None:
             import numpy as np
 
             r = np.random.RandomState(50_000 + 1000 * b + i)
-            im, gt = _sample(60_000 + 1000 * b + i,
-                             int(r.randint(240, 420)),
-                             int(r.randint(300, 500)))
+            # image 0 of every benchmark pins the max size, so all three
+            # benchmarks share ONE canvas (= one eval compile, ~3-5 min
+            # through the tunnel instead of three); the rest vary freely
+            # below it, exercising the variable-resolution path
+            h, w = ((416, 496) if i == 0 else
+                    (int(r.randint(240, 417)), int(r.randint(300, 497))))
+            im, gt = _sample(60_000 + 1000 * b + i, h, w)
             Image.fromarray(im).save(fi, quality=92)
             Image.fromarray(gt).save(fg)
     print(f"corpus: {N_TRAIN} train + 3x{N_BENCH} benchmark images under "
@@ -166,7 +170,8 @@ def _make_cfg(root: str, run: str):
     if SMOKE:
         over = dict(train_image_size=64, eval_image_size=64, batch_size=4,
                     num_workers=2, max_gt_masks=2, compute_dtype="float32",
-                    use_pallas_attention=False, use_fused_mlp=False)
+                    use_pallas_attention=False, use_fused_mlp=False,
+                    use_fused_train=False)
     return Config(
         dir_ckpt=os.path.join(root, f"ckpt_{run}"),
         dir_dataset=root,
@@ -174,7 +179,12 @@ def _make_cfg(root: str, run: str):
         # the recipe: 12 epochs, batch 8, AdamW wd 0.01, poly 0.9,
         # grad-clip 1.0, contrastive on — all Config defaults except the
         # documented LR scale-down for the 384-step corpus
-        **dict(dict(batch_size=8, num_workers=4, use_fused_mlp=True),
+        # production fast path: both block halves Pallas fwd+bwd
+        # (ops/fused_attn + ops/fused_mlp) — convergence-validated on
+        # chip by scripts/learning_check.py --fused-train --fused-mlp
+        # (IoU 0.095 -> 0.977 in 400 steps, r4 restructured backward)
+        **dict(dict(batch_size=8, num_workers=4, use_fused_mlp=True,
+                    use_fused_train=True),
                **over),
         n_epochs=EPOCHS, lr=LR,
     )
