@@ -14,6 +14,8 @@ Prints ONE JSON line.  The headline keys keep the driver's contract
 surfaces ride along as extra fields (VERDICT r3 item 3 — the headline
 saturated in round 1, so round-over-round progress lives in these):
 
+    inference_int8_images_per_sec  same forward, W8A8 quantized encoder
+                                   (ops/fused_block_int8; opt-in path)
     train_images_per_sec        full train step (fwd+loss+bwd+AdamW), B=32
     canvas_eval_images_per_sec  Evaluator 400px canvas step, B=16, fused
     maskgen_images_per_sec      pseudo-mask pipeline (3 backbones x k=2,3,4)
@@ -75,7 +77,7 @@ def make_forward_chain(mcfg, iters: int):
     return forward_chain
 
 
-def measure_tpu_ips() -> float:
+def measure_tpu_ips(int8: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -91,8 +93,16 @@ def measure_tpu_ips() -> float:
     cfg = Config()  # nq20 / ndl6 / ViT-S/8 / flash attention
     mcfg = config_from(cfg)
     params = maskformer_init(jax.random.key(0), mcfg)
+    if int8:
+        # quantize BEFORE the bf16 cast (f32 scales; Config.quantize="int8")
+        from sod_tpu.ops.fused_block_int8 import quantize_vit_blocks
+
+        blocks_q = quantize_vit_blocks(params["encoder"]["blocks"])
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
                           if x.dtype == jnp.float32 else x, params)
+    if int8:
+        params = dict(params,
+                      encoder=dict(params["encoder"], blocks_q=blocks_q))
 
     forward_chain = make_forward_chain(mcfg, ITERS)
     x = jnp.zeros((BATCH, IMG, IMG, 3), jnp.bfloat16)
@@ -336,6 +346,7 @@ def measure_maskgen_ips(n: int = 96, batch: int = 16) -> float:
 _SUBPROCESS_METRICS = {
     # flag -> (measure fn, timeout seconds incl. cold-cache compile)
     "--infer-only": (measure_tpu_ips, 900),
+    "--int8-only": (lambda: measure_tpu_ips(int8=True), 900),
     "--train-only": (measure_train_ips, 900),
     "--canvas-only": (measure_canvas_ips, 1500),
     "--maskgen-only": (measure_maskgen_ips, 1500),
@@ -384,6 +395,7 @@ def main():
         cpu_ips = float("nan")
     vs = (tpu_ips / (5.0 * cpu_ips)
           if tpu_ips is not None and cpu_ips == cpu_ips else None)
+    int8_ips = _run_metric_subprocess("--int8-only")
     train_ips = _run_metric_subprocess("--train-only")
     canvas_ips = _run_metric_subprocess("--canvas-only")
     maskgen_ips = _run_metric_subprocess("--maskgen-only")
@@ -392,6 +404,7 @@ def main():
         "value": round(tpu_ips, 2) if tpu_ips is not None else None,
         "unit": "images/sec",
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        "inference_int8_images_per_sec": int8_ips,
         "train_images_per_sec": train_ips,
         "canvas_eval_images_per_sec": canvas_ips,
         "maskgen_images_per_sec": maskgen_ips,

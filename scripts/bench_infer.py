@@ -13,7 +13,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(batch: int, iters: int = 20, arch: str = "vit_small") -> float:
+def measure(batch: int, iters: int = 20, arch: str = "vit_small",
+            int8: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -34,8 +35,18 @@ def measure(batch: int, iters: int = 20, arch: str = "vit_small") -> float:
 
         mcfg = dataclasses.replace(mcfg, vit=vit_base(patch_size=16))
     params = maskformer_init(jax.random.key(0), mcfg)
+    if int8:
+        # quantize from the f32 init (f32 scales survive the bf16 cast)
+        from sod_tpu.ops.fused_block_int8 import quantize_vit_blocks
+
+        blocks_q = quantize_vit_blocks(params["encoder"]["blocks"])
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
                           if x.dtype == jnp.float32 else x, params)
+    if int8:
+        enc = dict(params["encoder"])
+        enc["blocks_q"] = blocks_q
+        params = dict(params)
+        params["encoder"] = enc
 
     # the ONE shared benchmark program (bench.py) — the sweep must measure
     # exactly what the headline bench reports
@@ -56,17 +67,20 @@ def main():
     ap.add_argument("--one", type=int, default=None)
     ap.add_argument("--arch", default="vit_small",
                     choices=["vit_small", "vit_base"])
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 quantized encoder (ops/fused_block_int8)")
     args = ap.parse_args()
 
     if args.one is not None:
-        ips = measure(args.one, arch=args.arch)
-        print(f"B={args.one:3d} arch={args.arch}  {ips:8.1f} img/s",
+        ips = measure(args.one, arch=args.arch, int8=args.int8)
+        print(f"B={args.one:3d} arch={args.arch}"
+              f"{' int8' if args.int8 else ''}  {ips:8.1f} img/s",
               flush=True)
         return
     for b in args.batches:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", str(b),
-             "--arch", args.arch],
+             "--arch", args.arch] + (["--int8"] if args.int8 else []),
             capture_output=True, text=True)
         out = [ln for ln in r.stdout.splitlines() if "img/s" in ln]
         print(out[-1] if out else

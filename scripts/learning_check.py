@@ -48,8 +48,9 @@ def synth_batch(rng, b, img=224, m=4):
             "labels": jnp.asarray(rng.randint(0, 10000, size=(b,)))}
 
 
-def eval_iou(params, mcfg, batch):
-    out = maskformer_apply(params, batch["image"].astype(jnp.bfloat16), mcfg)
+def eval_iou(params, mcfg, batch, fused=False, return_pred=False):
+    out = maskformer_apply(params, batch["image"].astype(jnp.bfloat16), mcfg,
+                           fused=fused)
     obj = out["objectness"][:, -1, :, 0]
     best = jnp.argmax(obj, axis=-1)
     pred = jnp.take_along_axis(out["mask_pred"][:, -1],
@@ -60,7 +61,10 @@ def eval_iou(params, mcfg, batch):
     p = pred > 0.5
     inter = (p & gt).sum((-1, -2)).astype(jnp.float32)
     union = (p | gt).sum((-1, -2)).astype(jnp.float32)
-    return float(jnp.mean(inter / (union + 1e-7)))
+    iou = float(jnp.mean(inter / (union + 1e-7)))
+    if return_pred:
+        return iou, np.asarray(p)
+    return iou
 
 
 def main():
@@ -74,6 +78,11 @@ def main():
     ap.add_argument("--no-flash", action="store_true",
                     help="pure-XLA attention (no Pallas fwd/bwd kernels)")
     ap.add_argument("--lr", type=float, default=2e-5)
+    ap.add_argument("--int8-eval", action="store_true",
+                    help="after training, evaluate the trained weights "
+                         "through the W8A8 fused path "
+                         "(ops/fused_block_int8) and report its IoU and "
+                         "its mask agreement with the bf16 fused path")
     args = ap.parse_args()
 
     # lr: 1e-4 collapses the all-queries dice into sigmoid saturation
@@ -112,6 +121,27 @@ def main():
           f"/ {dt:.1f}s  (fused_mlp={int(args.fused_mlp)} "
           f"fused_train={int(args.fused_train)})", flush=True)
     assert iou1 > 0.8, f"learning check failed: IoU {iou1}"
+
+    if args.int8_eval:
+        # accuracy of the quantized serving path on REAL trained weights:
+        # IoU vs ground truth AND mask agreement vs the bf16 fused path
+        from sod_tpu.ops.fused_block_int8 import quantize_vit_blocks
+
+        enc = dict(p["encoder"])
+        enc["blocks_q"] = quantize_vit_blocks(p["encoder"]["blocks"])
+        pq = dict(p)
+        pq["encoder"] = enc
+        iou_bf, m_bf = eval_iou(p, mcfg, eval_batch, fused=True,
+                                return_pred=True)
+        iou_q, m_q = eval_iou(pq, mcfg, eval_batch, fused=True,
+                              return_pred=True)
+        inter = (m_bf & m_q).sum()
+        union = (m_bf | m_q).sum()
+        agree = inter / max(union, 1)
+        print(f"int8 eval: bf16-fused IoU {iou_bf:.4f}, int8-fused IoU "
+              f"{iou_q:.4f}, mask agreement IoU {agree:.4f}", flush=True)
+        assert iou_q > 0.8, f"int8 eval IoU collapsed: {iou_q}"
+        assert agree > 0.95, f"int8/bf16 mask agreement low: {agree}"
 
 
 if __name__ == "__main__":

@@ -115,6 +115,16 @@ class Config:
     use_fused_eval: bool = False      # canvas eval through the gridded
                                       # fused pipeline (tanh-GELU; opt-in —
                                       # default keeps bit-exact erf GELU)
+    quantize: str = "none"            # "int8": serving/inference runs the
+                                      # encoder blocks through the W8A8
+                                      # fused kernel (per-channel int8
+                                      # weights quantized once at load,
+                                      # per-token dynamic activations,
+                                      # int32 MXU accumulate — ~1.8x the
+                                      # bf16 matmul rate on v5e).  Opt-in:
+                                      # accuracy report in
+                                      # docs/PERFORMANCE.md; default stays
+                                      # the bf16 kernel
     fused_save_acts: bool = False     # fused-train forward streams the
                                       # pre-GELU hidden so the backward
                                       # skips its recompute matmul.

@@ -328,6 +328,27 @@ def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
                 if n_pad != n:
                     kmask = jnp.pad(kmask, ((0, 0), (0, n_pad - n)))
 
+            if "blocks_q" in params:
+                # opt-in W8A8 path (Config.quantize="int8"): the four
+                # projection matmuls run int8 on the MXU at ~1.8x the bf16
+                # rate; weights were quantized once at load by
+                # ops.fused_block_int8.vit_quantize_int8
+                from sod_tpu.ops.fused_block_int8 import fused_vit_block_int8
+
+                def qbody(carry, bq):
+                    out = fused_vit_block_int8(carry, bq, cfg.n_heads,
+                                               n_real=n, eps=cfg.ln_eps,
+                                               key_mask=kmask)
+                    normed = (layer_norm(params["norm"], out[:, :n],
+                                         cfg.ln_eps) if all_layers else 0.0)
+                    return out, normed
+
+                final, per_layer = jax.lax.scan(qbody, padded,
+                                                params["blocks_q"])
+                if all_layers:
+                    return per_layer
+                return layer_norm(params["norm"], final[:, :n], cfg.ln_eps)
+
             def fbody(carry, bp):
                 out = fused_vit_block(carry, bp, cfg.n_heads, n_real=n,
                                       eps=cfg.ln_eps, key_mask=kmask)

@@ -263,6 +263,22 @@ class SelfMaskInference:
             lambda x: jnp.asarray(x, compute)
             if np.issubdtype(np.asarray(x).dtype, np.floating) else jnp.asarray(x),
             params)
+        if getattr(cfg, "quantize", "none") == "int8":
+            if cfg.arch != "vit_small":
+                raise ValueError(
+                    "quantize='int8' targets the ViT encoder's fused "
+                    "whole-block kernel (ops/fused_block_int8); the "
+                    "resnet50 arch has no quantized path")
+            from sod_tpu.ops.fused_block_int8 import quantize_vit_blocks
+
+            # quantize from the PRE-cast weights (full f32 scale precision;
+            # int8 values + f32 scales must dodge the bf16 compute cast)
+            enc = dict(self.params["encoder"])
+            enc["blocks_q"] = quantize_vit_blocks(
+                jax.tree.map(jnp.asarray, params["encoder"]["blocks"]))
+            p = dict(self.params)
+            p["encoder"] = enc
+            self.params = p
 
         mcfg = self.mcfg
 
