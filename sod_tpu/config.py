@@ -96,6 +96,15 @@ class Config:
                                       # train forward (bwd = kernel-
                                       # recompute VJP of the unfused block)
     mesh_data_axis: int = 1           # data-parallel mesh size (1 = single chip)
+    grad_accum_steps: int = 1         # micro-batches per optimizer step
+                                      # (batch_size must divide evenly)
+    grad_accum_mode: str = "averaged"  # "averaged": each micro loss
+                                      # normalised alone, InfoNCE sees only
+                                      # micro negatives; "exact":
+                                      # GradCache-style full-batch-
+                                      # equivalent gradients (one extra
+                                      # fwd per micro when the contrastive
+                                      # weight is on) — see train/step.py
     max_gt_masks: int = 8             # static padding for ragged pseudo-mask stacks
     micro_batch: Union[bool, str] = "auto"  # serving: batch concurrent
                                       # /predict requests into one device

@@ -48,7 +48,7 @@ def _jit_train(fn, micro_batch: int = 0):
 
 def make_train_step(cfg: Config, tx: optax.GradientTransformation,
                     mcfg: Optional[MaskFormerConfig] = None,
-                    accum_steps: int = 1) -> Callable:
+                    accum_steps: int = 1, mode: str = "averaged") -> Callable:
     """Build the jitted train step.
 
     batch: {"image": [B, H, W, 3], "gt_masks": [B, M, Hm, Wm] float,
@@ -57,23 +57,46 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
 
     :param accum_steps: gradient accumulation — B must be divisible by it;
         the batch is split into ``accum_steps`` micro-batches scanned
-        inside the jit (grads averaged, ONE optimizer update), letting the
-        effective batch exceed what fits in HBM at once.
+        inside the jit (ONE optimizer update), letting the effective
+        batch exceed what fits in HBM at once.
+    :param mode: accumulation semantics (``Config.grad_accum_mode``):
 
-        Semantics are deliberately *averaged-micro-loss*, not exact
-        full-batch equivalence: the supervised-InfoNCE term sees only the
-        micro-batch's negatives, and each micro loss is normalised by its
-        own valid-image count.  ``tests/test_train_e2e.py`` asserts
-        exactly this property (accum grads == mean of per-micro-batch
-        grads); with ``weight_contrastive_loss=0`` and uniform valid
-        counts it coincides with the full-batch loss.
+        * ``"averaged"`` (default) — *averaged-micro-loss*: the
+          supervised-InfoNCE term sees only the micro-batch's negatives,
+          and each micro loss is normalised by its own valid-image
+          count.  ``tests/test_train_e2e.py`` asserts exactly this
+          property (accum grads == mean of per-micro-batch grads); with
+          ``weight_contrastive_loss=0`` and uniform valid counts it
+          coincides with the full-batch loss.
+        * ``"exact"`` — full-batch-equivalent gradients via a
+          GradCache-style two-pass (Gao et al. 2021, "Scaling Deep
+          Contrastive Learning Batch Size under Memory Limited Setup"):
+          pass 1 scans the micro-batches gradient-free to collect the
+          pooled contrastive features of the WHOLE batch, differentiates
+          the (cheap, [B, D]-sized) InfoNCE term against them, and pass
+          2 re-runs each micro-batch under ``value_and_grad`` of
+          ``main_loss_sum / n_valid_total + <features, cached_feature_grad>``
+          — the accumulated gradient equals the accum_steps=1 gradient
+          up to float reassociation (InfoNCE negatives span the full
+          batch; ragged valid counts are normalised globally).  Costs
+          one extra forward per micro-batch *only when the contrastive
+          weight is non-zero*; with ``weight_contrastive_loss=0`` the
+          feature pass is skipped and exact mode costs the same as
+          averaged.  Asserted against the accum_steps=1 step in
+          ``tests/test_train_e2e.py::test_exact_grad_accum...``.
+
+        BN buffers (resnet arch) use averaged micro-batch statistics in
+        BOTH modes (one EMA update per optimizer step).
     """
+    if mode not in ("averaged", "exact"):
+        raise ValueError(f"grad_accum mode must be 'averaged' or 'exact', "
+                         f"got {mode!r}")
     if mcfg is None:
         mcfg = config_from(cfg)
     use_cls = not cfg.use_binary_classifier  # trainer pyc 113-117
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    def loss_fn(params, batch):
+    def forward(params, batch):
         x = batch["image"]
         if x.dtype == jnp.uint8:
             # uint8-shipped batch (loader ``train_u8`` mode): ImageNet
@@ -83,7 +106,10 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
 
             x = normalize_device(x)
         x = x.astype(compute_dtype)
-        out = maskformer_apply(params, x, mcfg, train=True)
+        return maskformer_apply(params, x, mcfg, train=True)
+
+    def loss_fn(params, batch):
+        out = forward(params, batch)
         # resnet encoder: EMA-updated BatchNorm buffers to merge back into
         # params after the optimizer step (ViT path: empty)
         bn_stats = out.get("batch_stats", {})
@@ -126,11 +152,17 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
 
         return train_step
 
+    def micro(b):
+        return jax.tree.map(
+            lambda x: x.reshape((accum_steps, -1) + x.shape[1:]), b)
+
+    if mode == "exact":
+        return _make_exact_accum_step(cfg, tx, mcfg, accum_steps, micro_b,
+                                      micro, forward, use_cls, _metrics,
+                                      merge_bn_stats)
+
     @functools.partial(_jit_train, micro_batch=micro_b)
     def train_step_accum(params, opt_state, batch):
-        def micro(b):
-            return jax.tree.map(
-                lambda x: x.reshape((accum_steps, -1) + x.shape[1:]), b)
 
         micro_batches = micro(batch)
         grads0 = jax.tree.map(jnp.zeros_like, params)
@@ -158,6 +190,115 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
                                            res_mean, grads)
 
     return train_step_accum
+
+
+def _make_exact_accum_step(cfg, tx, mcfg, accum_steps, micro_b, micro,
+                           forward, use_cls, _metrics, merge_bn_stats):
+    """GradCache-style full-batch-equivalent gradient accumulation.
+
+    The full-batch loss decomposes as
+    ``(sum_k main_sum_k + w_c * InfoNCE(Z, y)) / n_valid_total`` where
+    ``main_sum_k`` is micro-batch k's *unnormalised* per-image loss sum
+    and the only cross-image coupling is the InfoNCE over the pooled
+    features ``Z = concat(Z_k)``.  ``n_valid_total`` depends only on
+    ``gt_valid`` (no forward needed), so:
+
+    pass 1 (only if ``weight_contrastive_loss != 0``): scan the
+    micro-batches without gradients, collect ``Z`` ([B, D], tiny), and
+    take ``g_Z = d(w_c * InfoNCE(Z, y) / n_total) / dZ`` with one cheap
+    backward over the loss head alone;
+
+    pass 2: for each micro-batch, ``value_and_grad`` of the surrogate
+    ``main_sum_k / n_total + <Z_k(params), g_Z_k>`` — by the chain rule
+    the accumulated (summed, not averaged: the normalisation is already
+    inside) gradients equal the accum_steps=1 gradient exactly, up to
+    float reassociation.
+    """
+    from sod_tpu.losses.criterion import contrastive_loss
+
+    use_con = cfg.weight_contrastive_loss != 0.0
+
+    def micro_main(params, mb):
+        out = forward(params, mb)
+        bn_stats = out.get("batch_stats", {})
+        res = criterion_forward(
+            out["mask_pred"].astype(jnp.float32),
+            mb["gt_masks"].astype(jnp.float32),
+            mb["gt_valid"],
+            out.get("objectness"),
+            use_classification_loss=use_cls,
+        )
+        # criterion normalises by the MICRO valid count; recover the sum
+        nk = jnp.maximum(mb["gt_valid"].any(axis=1).sum(), 1)
+        main_sum = res["avg_loss"] * nk
+        return main_sum, res, bn_stats, out
+
+    @functools.partial(_jit_train, micro_batch=micro_b)
+    def train_step_exact(params, opt_state, batch):
+        micro_batches = micro(batch)
+        img_valid = batch["gt_valid"].any(axis=1)                  # [B]
+        n_total = jnp.maximum(img_valid.sum(), 1).astype(jnp.float32)
+
+        con_on = use_con and "labels" in batch
+        if con_on:
+            # ---- pass 1: features of the WHOLE batch, gradient-free ----
+            def feat_body(_, mb):
+                out = forward(params, mb)
+                return None, out["features"].astype(jnp.float32)
+
+            _, feats = jax.lax.scan(feat_body, None, micro_batches)
+            z = feats.reshape(-1, feats.shape[-1])                  # [B, D]
+
+            def con_term(zz):
+                return (cfg.weight_contrastive_loss
+                        * contrastive_loss(zz, batch["labels"],
+                                           cfg.temperature, valid=img_valid)
+                        / n_total)
+
+            con_scaled, g_z = jax.value_and_grad(con_term)(z)
+            con_raw = con_scaled * n_total / cfg.weight_contrastive_loss
+            g_z_micro = g_z.reshape((accum_steps, micro_b) + g_z.shape[1:])
+        else:
+            con_scaled = jnp.float32(0.0)
+            con_raw = jnp.float32(0.0)
+
+        # ---- pass 2: main loss + cached-feature surrogate, with grad ----
+        def surrogate(params, mb, gz):
+            main_sum, res, bn_stats, out = micro_main(params, mb)
+            s = main_sum / n_total
+            if gz is not None:
+                s = s + jnp.vdot(out["features"].astype(jnp.float32), gz)
+            return s, (main_sum, res, bn_stats)
+
+        grads0 = jax.tree.map(jnp.zeros_like, params)
+
+        def body(carry, xs):
+            acc, main_acc = carry
+            mb, gz = xs if con_on else (xs, None)
+            (_, (main_sum, res, bn_stats)), grads = jax.value_and_grad(
+                surrogate, has_aux=True)(params, mb, gz)
+            acc = jax.tree.map(jnp.add, acc, grads)
+            # reweight the micro-normalised diagnostics back to sums
+            nk = jnp.maximum(mb["gt_valid"].any(axis=1).sum(), 1)
+            diag_sums = {k: res[k] * nk for k in
+                         ("avg_dice_loss", "avg_ranking_loss",
+                          "avg_classification_loss", "avg_iou")}
+            return (acc, main_acc + main_sum), (diag_sums, bn_stats)
+
+        xs = (micro_batches, g_z_micro) if con_on else micro_batches
+        (grads, main_total), (diag, all_stats) = jax.lax.scan(
+            body, (grads0, jnp.float32(0.0)), xs)
+
+        loss = main_total / n_total + con_scaled
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = merge_bn_stats(
+            params, jax.tree.map(lambda a: a.mean(axis=0), all_stats))
+        res_full = {k: diag[k].sum(axis=0) / n_total for k in diag}
+        res_full["avg_contrastive_loss"] = con_raw
+        return params, opt_state, _metrics(loss, res_full, grads)
+
+    return train_step_exact
 
 
 def make_eval_step(cfg: Config,

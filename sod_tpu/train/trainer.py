@@ -77,7 +77,10 @@ class Trainer:
         n_iters = max(1, -(-len(self.dataset) // cfg.batch_size))
         self.tx = build_optimizer(cfg, n_iters_per_epoch=n_iters)
         self.opt_state = self.tx.init(self.params)
-        self.train_step = make_train_step(cfg, self.tx, self.mcfg)
+        self.train_step = make_train_step(
+            cfg, self.tx, self.mcfg,
+            accum_steps=max(1, cfg.grad_accum_steps),
+            mode=cfg.grad_accum_mode)
         self.n_iters_per_epoch = n_iters
 
         self.mesh = mesh if mesh is not None else (

@@ -221,3 +221,80 @@ def test_grad_accumulation_matches_full_batch(workspace):
     for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_exact_grad_accum_matches_accum1_step(workspace):
+    """mode="exact" (GradCache two-pass, train/step.py) must reproduce the
+    accum_steps=1 update on a batch where the averaged-micro semantics
+    genuinely diverge: ragged valid counts across the micro-batches AND a
+    non-zero InfoNCE weight (whose negatives span the full batch only in
+    exact mode)."""
+    from sod_tpu.train.optim import build_optimizer
+    from sod_tpu.train.step import make_train_step
+
+    cfg, mcfg = tiny_setup(workspace, suffix="exaccum")
+    assert cfg.weight_contrastive_loss != 0.0
+    params = maskformer_init(jax.random.key(0), mcfg)
+    tx = build_optimizer(cfg, n_iters_per_epoch=100)
+
+    rng = np.random.RandomState(1)
+    batch = {
+        "image": rng.rand(4, 64, 64, 3).astype(np.float32),
+        "gt_masks": (rng.rand(4, 2, 64, 64) > 0.6).astype(np.float32),
+        # ragged: micro 0 has 3 valid GT rows over 2 images, micro 1 has 1
+        # valid image (and one fully-invalid image) -> the micro-local
+        # normalisation of averaged mode differs from the global one
+        "gt_valid": np.array([[True, True], [True, False],
+                              [True, False], [False, False]]),
+        "labels": np.array([1, 2, 1, 2], np.int32),
+    }
+
+    step1 = make_train_step(cfg, tx, mcfg, accum_steps=1)
+    stepx = make_train_step(cfg, tx, mcfg, accum_steps=2, mode="exact")
+    stepa = make_train_step(cfg, tx, mcfg, accum_steps=2)  # averaged
+
+    p1, _, m1 = step1(params, tx.init(params), batch)
+    px, _, mx = stepx(params, tx.init(params), batch)
+    pa, _, ma = stepa(params, tx.init(params), batch)
+
+    # exact == accum_steps=1 (loss and every updated parameter)
+    np.testing.assert_allclose(float(mx["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(px), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+    # ...and the averaged mode demonstrably does NOT match on this batch
+    # (otherwise the assertion above would be vacuous)
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(p1))]
+    assert max(diffs) > 1e-5, "averaged mode unexpectedly exact here"
+
+
+def test_exact_accum_no_contrastive_skips_feature_pass(workspace):
+    """With weight_contrastive_loss=0 exact mode takes the single-pass
+    branch (no feature scan) and still matches accum_steps=1."""
+    from sod_tpu.train.optim import build_optimizer
+    from sod_tpu.train.step import make_train_step
+
+    cfg, mcfg = tiny_setup(workspace, suffix="exaccum0",
+                           weight_contrastive_loss=0.0)
+    params = maskformer_init(jax.random.key(0), mcfg)
+    tx = build_optimizer(cfg, n_iters_per_epoch=100)
+    rng = np.random.RandomState(2)
+    batch = {
+        "image": rng.rand(4, 64, 64, 3).astype(np.float32),
+        "gt_masks": (rng.rand(4, 2, 64, 64) > 0.6).astype(np.float32),
+        "gt_valid": np.array([[True, True], [True, False],
+                              [True, False], [False, False]]),
+        "labels": np.array([1, 2, 1, 2], np.int32),
+    }
+    step1 = make_train_step(cfg, tx, mcfg, accum_steps=1)
+    stepx = make_train_step(cfg, tx, mcfg, accum_steps=2, mode="exact")
+    p1, _, m1 = step1(params, tx.init(params), batch)
+    px, _, mx = stepx(params, tx.init(params), batch)
+    np.testing.assert_allclose(float(mx["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(px), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
