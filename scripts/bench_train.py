@@ -28,7 +28,8 @@ from sod_tpu.train.step import make_train_step
 
 def bench_step(batch_size: int, steps: int = 20, remat: str = "none",
                warmup: int = 3, mode: str = "full",
-               fused_mlp: bool = False, fused_train: bool = False) -> float:
+               fused_mlp: bool = False, fused_train: bool = False,
+               accum: int = 1, accum_mode: str = "averaged") -> float:
     """mode: full = fwd+criterion+bwd+AdamW; fwd = model fwd only;
     fwdloss = fwd+criterion (no grad); enc = encoder grad only."""
     cfg = Config(batch_size=batch_size, remat=(remat != "none"),
@@ -37,7 +38,7 @@ def bench_step(batch_size: int, steps: int = 20, remat: str = "none",
     params = maskformer_init(jax.random.key(0), mcfg)
     tx = build_optimizer(cfg, n_iters_per_epoch=100)
     opt_state = tx.init(params)
-    step = make_train_step(cfg, tx, mcfg)
+    step = make_train_step(cfg, tx, mcfg, accum_steps=accum, mode=accum_mode)
 
     rng = np.random.RandomState(0)
     b = batch_size
@@ -123,6 +124,10 @@ def main():
     ap.add_argument("--modes", nargs="+", default=["full"])
     ap.add_argument("--fused-mlp", action="store_true")
     ap.add_argument("--fused-train", action="store_true")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation micro-steps")
+    ap.add_argument("--accum-mode", default="averaged",
+                    choices=["averaged", "exact"])
     ap.add_argument("--one", action="store_true",
                     help="run exactly one config in THIS process")
     args = ap.parse_args()
@@ -131,9 +136,13 @@ def main():
         b, mode, remat = args.batches[0], args.modes[0], args.remat[0]
         dt = bench_step(b, steps=args.steps, remat=remat, mode=mode,
                         fused_mlp=args.fused_mlp,
-                        fused_train=args.fused_train)
+                        fused_train=args.fused_train, accum=args.accum,
+                        accum_mode=args.accum_mode)
+        acc = (f" accum={args.accum}({args.accum_mode})"
+               if args.accum > 1 else "")
         print(f"B={b:3d} mode={mode:8s} remat={remat:6s} "
-              f"fmlp={int(args.fused_mlp)} ftrain={int(args.fused_train)} "
+              f"fmlp={int(args.fused_mlp)} ftrain={int(args.fused_train)}"
+              f"{acc} "
               f"{dt * 1e3:8.2f} ms/step  {b / dt:8.1f} img/s", flush=True)
         return
 
@@ -149,7 +158,9 @@ def main():
             for b in args.batches:
                 cmd = [sys.executable, os.path.abspath(__file__), "--one",
                        "--batches", str(b), "--modes", mode,
-                       "--remat", remat, "--steps", str(args.steps)]
+                       "--remat", remat, "--steps", str(args.steps),
+                       "--accum", str(args.accum),
+                       "--accum-mode", args.accum_mode]
                 if args.fused_mlp:
                     cmd.append("--fused-mlp")
                 if args.fused_train:
