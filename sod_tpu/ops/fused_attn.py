@@ -162,18 +162,20 @@ def _fwd_pallas(x, weights, n_heads, n_real, eps, scale,
 # ---------------------------------------------------------------------------
 
 #: q-row chunk for the backward's score slabs — bounds the transient
-#: [CHUNK, N] f32 buffers so the whole kernel stays under XLA's scoped-VMEM
-#: budget (a monolithic [N, N] version measured 21.6 MB and failed at the
-#: 20.59 MB budget of the B=32 step; r3's 512-chunking measured 17.0 MB
-#: and failed the 16.00 MB budget of the B>=64 step).  Round 4: 512 at
-#: B<=32 (measured 430 -> 440 img/s over 256 at B=32); B>=48 gets a
-#: tighter 16.00 MB default budget, where the round-4 [N, 3D] dqkv
-#: scratch measured 17.88 MB at chunk 256 (16.48 even at 64 — the
-#: chunk-independent slabs dominate), so the TRAIN jit raises the
-#: per-compile scoped limit instead (``train.step._jit_train``) and big
-#: batches keep chunk 256.
-_BWD_CHUNK = 512
-_BWD_CHUNK_BIGBATCH = 256
+#: [CHUNK, N] f32 buffers against XLA's scoped-VMEM budget.  History of
+#: measured policies (all at ViT-S/8 224px, n=896 padded): r3 shipped 256
+#: (512 failed the B>=64 16.00 MB default budget); r4 first widened to 512
+#: at B<=32 (430 -> 440 img/s), then found the real fix — raise the
+#: per-compile scoped limit (``train.step._jit_train`` sets 32 MB for the
+#: fused-train jit) and run the score slab MONOLITHIC (one chunk = the
+#: whole padded token count).  One uniform (896, 32 MB) policy measured
+#: 456/428/381 img/s at B=32/16/8 and 450/447/416 at B=48/64/128 (vs
+#: 449/418/375 and 439/436/404 for the per-batch chunk policy it
+#: replaces); 48 MB budgets scheduled WORSE at B=48 (441).  The chunk is
+#: clamped to n, so n>896 shapes (not a supported train resolution) fall
+#: back to 896-row slabs.  SOD_BWD_CHUNK overrides (pair it with
+#: SOD_SCOPED_VMEM_KIB when shrinking the budget).
+_BWD_CHUNK = 896
 
 
 def _bwd_kernel(x_ref, g_ref, ln_s, ln_b, wqkv, bqkv, wproj,
@@ -391,8 +393,7 @@ def _bwd_pallas(x, g, weights, n_heads, n_real, eps, scale,
     # contracted once against h / wqkv at full MXU tile occupancy
     scratch = [pltpu.VMEM((n, 3 * d), jnp.bfloat16),
                pltpu.VMEM((n, d), jnp.bfloat16)]
-    default_chunk = _BWD_CHUNK if b <= 32 else _BWD_CHUNK_BIGBATCH
-    chunk_size = int(os.environ.get("SOD_BWD_CHUNK", default_chunk))
+    chunk_size = int(os.environ.get("SOD_BWD_CHUNK", _BWD_CHUNK))
     if attn_saved is not None:
         outs = pl.pallas_call(
             functools.partial(_bwd_kernel_attn, n_heads=n_heads,

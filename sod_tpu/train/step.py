@@ -19,23 +19,25 @@ from sod_tpu.losses.criterion import criterion_forward
 from sod_tpu.models.maskformer import MaskFormerConfig, config_from, maskformer_apply
 
 
-def _jit_train(fn, micro_batch: int = 0):
-    """jit; on TPU, big batches get a raised scoped-VMEM limit.
+def _jit_train(fn, micro_batch: int = 0, fused: bool = False):
+    """jit; on TPU, fused-train programs get a raised scoped-VMEM limit.
 
-    XLA grants the B>=48 train program only 16.00 MB of scoped VMEM for
-    Pallas stack allocations (vs 20.59 MB at B<=32 — the limit shrinks
-    as more HBM buffers go live), which the round-4 backward's [N, 3D]
-    weight-grad scratch exceeds by ~1-2 MB at any chunk size (17.88 MB
-    at chunk 256, 16.48 even at 64).  Raising the per-compile limit to
-    the ~20 MB the B=32 program already enjoys keeps ONE kernel shape
-    for every batch size (B=64 measured 436 img/s vs r3's 400).  B<=32
-    keeps the compiler default — its natural budget suffices.  Override
-    or disable with SOD_SCOPED_VMEM_KIB (0 = compiler default).
+    XLA's default scoped-VMEM budget (16.00-20.59 MB depending on live
+    HBM buffers) is what forced the fused backward's score slabs into
+    per-batch chunk sizes through round 4.  Raising the per-compile
+    limit to 32 MB lets the backward run its score slab MONOLITHIC
+    (``ops.fused_attn._BWD_CHUNK`` = the whole 896-token slab), which
+    measured faster at EVERY batch size (456/450/447/416 img/s at
+    B=32/48/64/128 vs 449/439/436/404 for the chunked per-batch policy;
+    a 48 MB budget scheduled worse at B=48).  Applied only to
+    fused-train jits — the plain-XLA step has no Pallas stack
+    allocations to budget for.  Override or disable with
+    SOD_SCOPED_VMEM_KIB (0 = compiler default).
     """
     import os
 
     kib = int(os.environ.get("SOD_SCOPED_VMEM_KIB",
-                             20480 if micro_batch >= 48 else 0))
+                             32768 if fused else 0))
     try:
         on_tpu = jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
@@ -141,7 +143,8 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
 
     micro_b = max(1, cfg.batch_size // max(1, accum_steps))
     if accum_steps <= 1:
-        @functools.partial(_jit_train, micro_batch=micro_b)
+        @functools.partial(_jit_train, micro_batch=micro_b,
+                           fused=cfg.use_fused_train)
         def train_step(params, opt_state, batch):
             (loss, (res, bn_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, batch)
@@ -161,7 +164,8 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
                                       micro, forward, use_cls, _metrics,
                                       merge_bn_stats)
 
-    @functools.partial(_jit_train, micro_batch=micro_b)
+    @functools.partial(_jit_train, micro_batch=micro_b,
+                       fused=cfg.use_fused_train)
     def train_step_accum(params, opt_state, batch):
 
         micro_batches = micro(batch)
@@ -233,7 +237,8 @@ def _make_exact_accum_step(cfg, tx, mcfg, accum_steps, micro_b, micro,
         main_sum = res["avg_loss"] * nk
         return main_sum, res, bn_stats, out
 
-    @functools.partial(_jit_train, micro_batch=micro_b)
+    @functools.partial(_jit_train, micro_batch=micro_b,
+                       fused=cfg.use_fused_train)
     def train_step_exact(params, opt_state, batch):
         micro_batches = micro(batch)
         img_valid = batch["gt_valid"].any(axis=1)                  # [B]
