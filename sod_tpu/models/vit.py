@@ -317,7 +317,11 @@ def vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
         # VMEM alongside activations — ViT-S/Ti only; dtype guard: the
         # kernel is bf16 — an fp32 compute_dtype request (parity
         # validation) must keep the exact unfused path)
-        if (fused_available() and n_pad <= 1024 and d <= 512
+        # int8 weights are half the bf16 footprint, so the quantized
+        # whole-block kernel also fits ViT-B width (d=768: ~7.1 MB int8
+        # weights/block vs the ~14 MB bf16 that forced the d<=512 guard)
+        d_max = 768 if "blocks_q" in params else 512
+        if (fused_available() and n_pad <= 1024 and d <= d_max
                 and tokens.dtype == jnp.bfloat16):
             padded = tokens.astype(jnp.bfloat16)
             kmask = None

@@ -154,3 +154,49 @@ def test_serving_quantize_plumbing(tmp_path):
     with pytest.raises(ValueError, match="resnet50"):
         SelfMaskInference(cfg=cfg.replace(quantize="int8", arch="resnet50"),
                           warmup=False)
+
+
+@pytest.mark.skipif(not _HAS_PLTPU, reason="pallas tpu backend unavailable")
+def test_vitb_width_routes_and_matches(rng):
+    """d=768 (ViT-B) is locked out of the bf16 whole-block kernel by VMEM
+    but fits the int8 kernel (weights halve); the routing guard admits it
+    only when blocks_q is present, and the kernel matches the XLA twin."""
+    from sod_tpu.models.vit import ViTConfig, vit_init
+
+    cfg = ViTConfig(patch_size=8, embed_dim=768, depth=1, n_heads=12,
+                    pos_grid=2)
+    params = vit_init(jax.random.key(0), cfg)
+    bq = jax.tree.map(lambda a: a[0], quantize_vit_blocks(params["blocks"]))
+    n = 128
+    x = jnp.asarray(rng.randn(1, n, 768).astype(np.float32)).astype(jnp.bfloat16)
+    out_k = fused_vit_block_int8(x, bq, cfg.n_heads, n_real=100,
+                                 eps=cfg.ln_eps, interpret=True)
+    out_x = xla_int8_block(x, bq, cfg.n_heads, n_real=100, eps=cfg.ln_eps)
+    gk = np.asarray(out_k[:, :100].astype(jnp.float32))
+    gx = np.asarray(out_x[:, :100].astype(jnp.float32))
+    np.testing.assert_allclose(gk, gx, atol=2e-2, rtol=1e-2)
+
+    # the bf16 guard stays at d<=512: without blocks_q a d=768 fused call
+    # must NOT enter the whole-block path (it takes the gridded pipeline)
+    import sod_tpu.ops.fused_block_int8 as fbq
+    import sod_tpu.ops.fused_block as fb
+    from sod_tpu.models.vit import vit_apply
+    called = []
+    orig = fbq.fused_vit_block_int8
+
+    def spy(*a, **kw):
+        called.append(1)
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    import unittest.mock as mock
+    with mock.patch.object(fb, "fused_available", lambda: True), \
+         mock.patch.object(fbq, "fused_vit_block_int8", spy):
+        from sod_tpu.ops.fused_block_int8 import vit_quantize_int8
+        pq = vit_quantize_int8(params)
+        img = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))
+        got = vit_apply(pq, img.astype(jnp.bfloat16), cfg, fused=True)
+        assert called, "d=768 with blocks_q did not route to the int8 kernel"
+        ref = vit_apply(params, img, cfg, fused=False)
+        g, r = np.asarray(got.astype(jnp.float32)), np.asarray(ref)
+        assert np.corrcoef(g.ravel(), r.ravel())[0, 1] > 0.995
