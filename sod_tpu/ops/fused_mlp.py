@@ -407,6 +407,9 @@ def fused_ln_mlp(x: jax.Array, mlp_params: dict, ln_params: dict,
         Off by default (inference/eval shouldn't pay the extra write).
     """
     del row_mask
+    import os
+
+    chunk = int(os.environ.get("SOD_MLP_CHUNK", chunk))
     shape = x.shape
     d = shape[-1]
     x2d = x.reshape(-1, d)
