@@ -27,6 +27,7 @@ has no TPU equivalent worth copying.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -445,7 +446,17 @@ def _bwd_pallas(x, g, weights, n_heads, n_real, eps, scale,
 # and per-program VMEM stays ~12 MB at 400 px canvas scale.
 # ---------------------------------------------------------------------------
 
-_LARGE_CHUNK = 256
+def _large_chunk(d: int) -> int:
+    """q-row chunk for the gridded inference pipeline, by model width.
+
+    Measured on v5e: 512 is +1.4 % at d=384 canvas scale in paired
+    back-to-back A/B (296.1 vs 291.9 and 297.1 vs 292.9 img/s eval-step
+    — consistent direction, though within session-to-session noise) but
+    REGRESSES d=768 hard (ViT-B B=64: 1793 vs 2567/2582 img/s — the
+    per-program qkv rows triple in bytes and scheduling collapses), so
+    the default is width-dependent.  SOD_LARGE_CHUNK overrides both.
+    """
+    return int(os.environ.get("SOD_LARGE_CHUNK", 512 if d <= 512 else 256))
 
 
 def _ln_qkv_kernel(x_ref, ln_s, ln_b, wqkv, bqkv, o_ref, *, eps: float):
@@ -493,13 +504,13 @@ def _attn_proj_kernel(x_ref, qkvc_ref, qkv_ref, wproj, bproj, o_ref, *,
 
 def _fwd_pallas_large(x, weights, n_heads, n_real, eps, scale,
                       key_mask=None, interpret=False):
-    """x: [B, N_pad, D] with N_pad a multiple of ``_LARGE_CHUNK``."""
+    """x: [B, N_pad, D] with N_pad a multiple of ``_large_chunk(d)``."""
     b, n, d = x.shape
     ln_s, ln_b, wqkv, bqkv, wproj, bproj = [
         w.astype(jnp.bfloat16) for w in weights]
     rep = lambda w: pl.BlockSpec(w.shape, lambda *a: (0,) * w.ndim,
                                  memory_space=pltpu.VMEM)
-    c = _LARGE_CHUNK
+    c = _large_chunk(d)
     rows2 = pl.BlockSpec((1, c, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM)
     qkv = pl.pallas_call(
@@ -575,7 +586,7 @@ def fused_ln_attn_infer(x: jax.Array, attn_params: dict, ln_params: dict,
     gridded large-N pipeline above (canvas-scale eval, ViT-B).  Not
     differentiable — the train path uses :func:`fused_ln_attn`."""
     b, n, d = x.shape
-    n_pad = _ceil_to(n, _LARGE_CHUNK)
+    n_pad = _ceil_to(n, _large_chunk(d))
     weights = _prep_weights(attn_params, ln_params)
     if not (_available() or interpret):
         # exact-math unfused fallback (handles key_mask) off-TPU

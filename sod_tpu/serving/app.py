@@ -712,6 +712,10 @@ def main():  # pragma: no cover
     p.add_argument("--allow-default-admin", action="store_true",
                    help="enable the reference's fixed admin credentials "
                         "(dev only; otherwise set SOD_ADMIN_PASSWORD)")
+    p.add_argument("--quantize", choices=["none", "int8"], default=None,
+                   help="int8: serve the W8A8 fused encoder "
+                        "(ops/fused_block_int8; accuracy report in "
+                        "docs/PERFORMANCE.md)")
     args = p.parse_args()
 
     cfg = None
@@ -719,6 +723,10 @@ def main():  # pragma: no cover
         from sod_tpu.config import load_config
 
         cfg = load_config(args.config)
+    if args.quantize is not None:
+        from sod_tpu.config import Config
+
+        cfg = (cfg or Config()).replace(quantize=args.quantize)
     app = create_app(cfg=cfg, model_path=args.model,
                      load_model=not args.no_model,
                      allow_default_admin=args.allow_default_admin)
