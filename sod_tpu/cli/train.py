@@ -26,6 +26,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="optional torch checkpoint to initialise from")
     p.add_argument("--n_devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh size (Megatron-style weight "
+                        "sharding, parallel/tp.py; total devices = "
+                        "n_devices x tp; requires the XLA compute path)")
     p.add_argument("--resume", action="store_true",
                    help="resume from this experiment's latest_model "
                         "checkpoint (capability the reference lacks)")
@@ -54,11 +58,15 @@ def main(argv=None) -> None:
 
     import jax
 
-    from sod_tpu.parallel import make_mesh
+    from sod_tpu.parallel import make_mesh, make_mesh_2d
     from sod_tpu.train import Trainer
 
-    n_dev = args.n_devices or len(jax.devices())
-    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if args.tp > 1:
+        n_dev = args.n_devices or len(jax.devices()) // args.tp
+        mesh = make_mesh_2d(n_dev, args.tp)
+    else:
+        n_dev = args.n_devices or len(jax.devices())
+        mesh = make_mesh(n_dev) if n_dev > 1 else None
 
     trainer = Trainer(cfg, params=params, mesh=mesh, debug=cfg.debug)
     print(f"experiment: {define_experim_name(cfg)} -> {trainer.dir_ckpt}")

@@ -96,6 +96,9 @@ class Config:
                                       # train forward (bwd = kernel-
                                       # recompute VJP of the unfused block)
     mesh_data_axis: int = 1           # data-parallel mesh size (1 = single chip)
+    mesh_model_axis: int = 1          # tensor-parallel mesh size (Megatron-
+                                      # style sharding rules, parallel/tp.py;
+                                      # requires the XLA compute path)
     grad_accum_steps: int = 1         # micro-batches per optimizer step
                                       # (batch_size must divide evenly)
     grad_accum_mode: str = "averaged"  # "averaged": each micro loss

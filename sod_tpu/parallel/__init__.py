@@ -4,3 +4,11 @@ from sod_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from sod_tpu.parallel.tp import (  # noqa: F401
+    assert_tp_compatible,
+    make_mesh_2d,
+    param_shardings,
+    shard_opt_state,
+    shard_params,
+    tp_specs,
+)

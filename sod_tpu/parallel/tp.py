@@ -1,0 +1,174 @@
+"""Tensor parallelism: Megatron-style sharding rules over the functional
+param pytrees, on a 2-D ``(data, model)`` device mesh.
+
+The reference is single-GPU torch and has no model parallelism at all
+(its ``DistributedSampler`` scaffolding, ``datasets/base_dataset.py:138-164``,
+is dormant data-parallel prep).  This module is the TPU-native scaling
+story beyond pure DP: weights carry ``PartitionSpec`` annotations and XLA
+GSPMD inserts the all-gathers/reduce-scatters over ICI — no hand-written
+collectives, exactly the "annotate shardings, let the compiler place
+collectives" recipe.
+
+Rules (classic tensor parallel for transformer blocks):
+
+* **column-parallel** (output features sharded; no communication in, an
+  activation all-gather deferred to where the compiler wants it):
+  the fused-QKV projection (``attn.qkv``), the decoder MHA in-projection
+  (``in_proj``), the first MLP linear (``mlp.fc0`` / decoder ``linear1``).
+  ``w[..., in, out]`` shards its LAST axis; the bias shards with it.
+* **row-parallel** (input features sharded; the matmul's contraction is
+  partial-summed and GSPMD inserts the all-reduce): the attention output
+  projection (``attn.proj`` / ``out_proj``), the second MLP linear
+  (``mlp.fc<last>`` / decoder ``linear2``).  ``w[..., in, out]`` shards
+  its SECOND-TO-LAST axis; the bias (full output width) is replicated.
+* everything else — LayerNorms, pos/query embeddings, the patchify
+  projection, the small objectness/classifier heads, ResNet encoders —
+  is replicated.
+
+Stacked per-layer params (leading ``L`` axis from the ``lax.scan``
+stacking) just shift the sharded axis right; the rules index from the
+end so both stacked and unstacked linears work.
+
+Any axis not divisible by the ``model`` mesh size falls back to
+replicated for that leaf (correctness first; GSPMD handles mixed
+sharded/replicated operands).
+
+Pallas kernels (flash attention, fused blocks) are single-shard
+programs: under a ``model`` axis > 1 the XLA einsum path must be used
+(``Config.use_pallas_attention=False``, no ``use_fused_train``) —
+``assert_tp_compatible`` enforces this loudly.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# linear-param dict keys whose OUTPUT features shard over "model"
+_COLUMN_KEYS = ("qkv", "in_proj", "linear1")
+# linear-param dict keys whose INPUT features shard over "model"
+_ROW_KEYS = ("proj", "out_proj", "linear2")
+
+
+def make_mesh_2d(n_data: Optional[int] = None, n_model: int = 1,
+                 devices=None) -> Mesh:
+    """A ``(data, model)`` mesh.  ``n_data=None`` uses all remaining
+    devices after the model axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_model < 1:
+        raise ValueError(f"n_model must be >= 1, got {n_model}")
+    if n_data is None:
+        n_data = len(devices) // n_model
+    total = n_data * n_model
+    if total > len(devices):
+        raise ValueError(
+            f"requested {n_data}x{n_model} devices, have {len(devices)}")
+    grid = np.asarray(devices[:total]).reshape(n_data, n_model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def _is_linear(d: dict) -> bool:
+    return isinstance(d, dict) and "w" in d and set(d) <= {"w", "b"}
+
+
+def _col_spec(leaf, n_model):
+    if leaf.shape[-1] % n_model != 0:
+        return P()
+    return P(*([None] * (leaf.ndim - 1)), "model")
+
+
+def _row_spec_w(leaf, n_model):
+    if leaf.ndim < 2 or leaf.shape[-2] % n_model != 0:
+        return P()
+    return P(*([None] * (leaf.ndim - 2)), "model", None)
+
+
+def _linear_specs(lin: dict, kind: str, n_model: int) -> dict:
+    if kind == "column":
+        return {k: _col_spec(v, n_model) for k, v in lin.items()}
+    out = {"w": _row_spec_w(lin["w"], n_model)}
+    if "b" in lin:
+        out["b"] = P()                      # full output width
+    return out
+
+
+def tp_specs(params, n_model: int):
+    """PartitionSpec pytree for a model param tree under ``n_model``-way
+    tensor parallelism (identity — all ``P()`` — at ``n_model=1``)."""
+
+    def walk(node, key):
+        if isinstance(node, dict):
+            if _is_linear(node):
+                if key in _COLUMN_KEYS:
+                    return _linear_specs(node, "column", n_model)
+                if key in _ROW_KEYS:
+                    return _linear_specs(node, "row", n_model)
+                return {k: P() for k in node}
+            if key == "mlp" and node and all(k.startswith("fc") for k in node):
+                # ViT-block MLP: fc0..fc{n-2} column-parallel, the last
+                # row-parallel.  (The objectness head sits under "ffn",
+                # not "mlp", and stays replicated — its 1-wide output
+                # could not shard anyway.)
+                last = f"fc{len(node) - 1}"
+                return {k: _linear_specs(v, "row" if k == last else "column",
+                                         n_model)
+                        for k, v in node.items()}
+            return {k: walk(v, k) for k, v in node.items()}
+        return P()
+
+    if n_model <= 1:
+        return jax.tree.map(lambda _: P(), params)
+    return walk(params, None)
+
+
+def _model_axis_size(mesh: Mesh) -> int:
+    return mesh.shape.get("model", 1) if "model" in mesh.axis_names else 1
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree: TP specs when the mesh has a ``model`` axis
+    > 1, fully replicated otherwise (so 1-D data meshes behave exactly as
+    before)."""
+    specs = tp_specs(params, _model_axis_size(mesh))
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put the param tree with its TP (or replicated) shardings."""
+    sh = param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, sh)
+
+
+def shard_opt_state(tx, params_sharded, opt_state=None):
+    """Optimizer state laid out like the params.
+
+    ``jit(tx.init)`` on sharded params propagates every param's sharding
+    onto its mirrored moment buffers (scalars replicate).  With
+    ``opt_state`` given (a restored checkpoint), its leaves are
+    device_put onto the freshly-propagated layout instead.
+    """
+    live = jax.jit(tx.init)(params_sharded)
+    if opt_state is None:
+        return live
+    return jax.tree.map(
+        lambda r, l: jax.device_put(jax.numpy.asarray(r), l.sharding),
+        opt_state, live)
+
+
+def assert_tp_compatible(cfg, mesh: Mesh) -> None:
+    """Fail loudly when a >1 model axis meets a single-shard Pallas path."""
+    if _model_axis_size(mesh) <= 1:
+        return
+    bad = [f for f in ("use_pallas_attention", "use_fused_train",
+                       "use_fused_mlp", "use_fused_eval")
+           if getattr(cfg, f, False)]
+    if bad:
+        raise ValueError(
+            f"tensor parallelism (model axis {_model_axis_size(mesh)}) "
+            f"requires the XLA path: disable {bad} — Pallas kernels are "
+            "single-shard programs (wrapping them in shard_map is future "
+            "work, see docs/PERFORMANCE.md)")

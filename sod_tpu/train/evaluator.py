@@ -107,13 +107,18 @@ class Evaluator:
         self.vis_every = max(1, vis_every)
         self.mesh = mesh
         if mesh is not None:
-            from sod_tpu.parallel import replicated
+            from sod_tpu.parallel import assert_tp_compatible, shard_params
 
-            self.params = jax.device_put(self.params, replicated(mesh))
-            if batch_size % mesh.devices.size != 0:
+            assert_tp_compatible(cfg, mesh)
+            # TP meshes shard the weights (parallel/tp.py rules); 1-D data
+            # meshes replicate them, as before
+            self.params = shard_params(self.params, mesh)
+            n_data = (mesh.shape.get("data", mesh.devices.size)
+                      if "data" in mesh.axis_names else mesh.devices.size)
+            if batch_size % n_data != 0:
                 raise ValueError(
-                    f"batch_size {batch_size} not divisible by mesh size "
-                    f"{mesh.devices.size}")
+                    f"batch_size {batch_size} not divisible by the mesh's "
+                    f"data axis ({n_data})")
         self._compiled = {}
         self._canvas_cache = {}
 

@@ -83,12 +83,27 @@ class Trainer:
             mode=cfg.grad_accum_mode)
         self.n_iters_per_epoch = n_iters
 
-        self.mesh = mesh if mesh is not None else (
-            make_mesh(cfg.mesh_data_axis) if cfg.mesh_data_axis > 1 else None)
+        if mesh is not None:
+            self.mesh = mesh
+        elif getattr(cfg, "mesh_model_axis", 1) > 1:
+            from sod_tpu.parallel import make_mesh_2d
+
+            self.mesh = make_mesh_2d(
+                cfg.mesh_data_axis if cfg.mesh_data_axis > 1 else None,
+                cfg.mesh_model_axis)
+        else:
+            self.mesh = (make_mesh(cfg.mesh_data_axis)
+                         if cfg.mesh_data_axis > 1 else None)
         if self.mesh is not None:
-            rep = replicated(self.mesh)
-            self.params = jax.device_put(self.params, rep)
-            self.opt_state = jax.device_put(self.opt_state, rep)
+            # TP meshes shard weights per parallel/tp.py rules (and the
+            # optimizer moments follow by propagation); 1-D data meshes
+            # replicate everything, exactly as before
+            from sod_tpu.parallel import (assert_tp_compatible, shard_opt_state,
+                                          shard_params)
+
+            assert_tp_compatible(cfg, self.mesh)
+            self.params = shard_params(self.params, self.mesh)
+            self.opt_state = shard_opt_state(self.tx, self.params)
 
         self.evaluator = evaluator
         self.logger = MetricLogger(self.dir_ckpt, name=self.experim_name)
@@ -155,9 +170,11 @@ class Trainer:
                 if float(v) > self.best_scores.get(k, -1.0):
                     self.best_scores[k] = float(v)
         if self.mesh is not None:
-            rep = replicated(self.mesh)
-            self.params = jax.device_put(self.params, rep)
-            self.opt_state = jax.device_put(self.opt_state, rep)
+            from sod_tpu.parallel import shard_opt_state, shard_params
+
+            self.params = shard_params(self.params, self.mesh)
+            self.opt_state = shard_opt_state(self.tx, self.params,
+                                             opt_state=self.opt_state)
         return int(state.get("epoch", 0)) + 1
 
     # ------------------------------------------------------------------
