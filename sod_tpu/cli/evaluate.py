@@ -32,6 +32,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from sod_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat runs skip tunnel recompiles
     args = build_argparser().parse_args(argv)
     cfg = load_config(args.config,
                       {"seed": args.seed, "suffix": args.suffix})

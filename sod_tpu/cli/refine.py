@@ -27,6 +27,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from sod_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat runs skip tunnel recompiles
     args = build_argparser().parse_args(argv)
     from sod_tpu.postprocess import bilateral_solver_output
 

@@ -37,6 +37,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from sod_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat runs skip tunnel recompiles
     args = build_argparser().parse_args(argv)
     overrides = {"debug": args.debug}
     if args.seed is not None:

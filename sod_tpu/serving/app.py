@@ -718,6 +718,12 @@ def main():  # pragma: no cover
                         "docs/PERFORMANCE.md)")
     args = p.parse_args()
 
+    # repeat boots hit the persistent compile cache instead of re-paying
+    # the ~4-5 min model compile through the remote-TPU tunnel
+    from sod_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     cfg = None
     if args.config:
         from sod_tpu.config import load_config

@@ -141,3 +141,28 @@ def test_cli_argparsers():
     assert a.dataset_name == "ecssd"
     a = gen().parse_args(["--p_images", "a.jpg", "b.jpg", "-cs", "2", "3"])
     assert a.cluster_sizes == [2, 3]
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    """enable_compilation_cache must configure jax.config (the env var is
+    too late on hosts that pre-import jax) AND export the env var for
+    fresh subprocess interpreters; explicit dir > env > default."""
+    import jax
+
+    from sod_tpu.utils.compcache import enable_compilation_cache
+
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    monkeypatch.delenv("SOD_COMPILATION_CACHE_DIR", raising=False)
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        d = str(tmp_path / "xla_cache")
+        assert enable_compilation_cache(d) == d
+        assert jax.config.jax_compilation_cache_dir == d
+        assert os.path.isdir(d)
+        assert os.environ["JAX_COMPILATION_CACHE_DIR"] == d
+        # env-var route (SOD_ var wins over the exported JAX_ one)
+        d2 = str(tmp_path / "other")
+        monkeypatch.setenv("SOD_COMPILATION_CACHE_DIR", d2)
+        assert enable_compilation_cache() == d2
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
