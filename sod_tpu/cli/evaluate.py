@@ -28,6 +28,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["iou", "f_measure", "f_max", "mae"])
     p.add_argument("--debug", "-d", action="store_true",
                    help="break after one batch (ref evaluator pyc 272)")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="data-parallel mesh size (default: single device; "
+                        "batch_size must divide evenly)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh size (parallel/tp.py; "
+                        "requires the XLA compute path)")
     return p
 
 
@@ -64,9 +70,19 @@ def main(argv=None) -> None:
         print("No weights given — evaluating a randomly initialised model.")
         params = maskformer_init(jax.random.key(cfg.seed), mcfg)
 
+    mesh = None
+    if args.tp > 1:
+        from sod_tpu.parallel import make_mesh_2d
+
+        mesh = make_mesh_2d(args.n_devices, args.tp)
+    elif args.n_devices and args.n_devices > 1:
+        from sod_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.n_devices)
+
     experim = define_experim_name(cfg)
     evaluator = Evaluator(params, cfg, mcfg, batch_size=args.batch_size,
-                          debug=args.debug)
+                          debug=args.debug, mesh=mesh)
     metrics = evaluator(dataset_name=args.dataset_name,
                         dir_ckpt=f"{args.dir_root}/eval/{experim}",
                         batch_size=args.batch_size, cost_type=args.cost_type)

@@ -90,6 +90,7 @@ def create_app(cfg=None, model_path: Optional[str] = None,
                                                       secrets.token_hex(16)),
               static_dir=upload_dir or "static", static_url="/static/")
     app.allow_default_admin = allow_default_admin
+    app.booted_at = time.time()
     db = db or open_database()
     emailer = Emailer()
     tokens = TokenStore()
@@ -691,9 +692,24 @@ def create_app(cfg=None, model_path: Optional[str] = None,
 
     @app.route("/test_connection")
     def test_connection(req: Request):
-        return jsonify({"status": "ok", "time": time.time(),
-                        "model_loaded": app.inference is not None,
-                        "payment_mode": payments.mode})
+        # identify WHICH server answered: with a port takeover (a stale
+        # process still bound, single-TPU-client rule) the basic ok/true
+        # line is indistinguishable between two servers — pid + boot time
+        # + model config make the mixup diagnosable from the client side
+        info = {"status": "ok", "time": time.time(),
+                "model_loaded": app.inference is not None,
+                "payment_mode": payments.mode,
+                "pid": os.getpid(), "booted_at": app.booted_at}
+        if app.inference is not None:
+            icfg = app.inference.cfg
+            info["model"] = {
+                "arch": icfg.arch,
+                "quantize": getattr(icfg, "quantize", "none"),
+                "compute_dtype": icfg.compute_dtype,
+                "n_queries": app.inference.mcfg.n_queries,
+                "micro_batching": app.inference._batcher is not None,
+            }
+        return jsonify(info)
 
     return app
 

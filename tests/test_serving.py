@@ -340,6 +340,14 @@ def test_diagnostics(client):
     st, r = client.get("/test_connection")
     assert st == 200 and r["status"] == "ok"
     assert r["model_loaded"] is False
+    # server-identity fields: with a stale process still bound to the
+    # port (single-TPU-client rule), pid + boot time tell WHICH server
+    # answered; "model" appears only once a model is loaded
+    import os as _os
+
+    assert r["pid"] == _os.getpid()
+    assert r["booted_at"] <= r["time"]
+    assert "model" not in r
 
 
 def test_pages_render(client):

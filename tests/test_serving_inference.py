@@ -348,3 +348,12 @@ def test_micro_batch_auto_without_warmup_stays_per_request():
     svc = _tiny_inference()
     assert svc.cfg.micro_batch == "auto"
     assert svc._batcher is None
+
+
+def test_connection_reports_model_identity(app_client):
+    st, r = app_client.get("/test_connection")
+    assert st == 200 and r["model_loaded"]
+    m = r["model"]
+    assert m["arch"] == "vit_small" and m["quantize"] == "none"
+    assert m["compute_dtype"] == "float32" and m["n_queries"] == 4
+    assert m["micro_batching"] is False      # warmup=False => no batcher
