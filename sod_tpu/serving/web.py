@@ -230,7 +230,10 @@ class App:
 
     def _session_cookie(self, session: Dict[str, Any]) -> str:
         token = self._sign(json.dumps(session, sort_keys=True).encode())
-        return f"session={token}; Path=/; HttpOnly"
+        # SameSite=Lax: the session cookie never rides cross-site POSTs,
+        # closing CSRF on the state-changing JSON routes (top-level GET
+        # navigations still carry it, so email verify links keep working)
+        return f"session={token}; Path=/; HttpOnly; SameSite=Lax"
 
     # --- WSGI --------------------------------------------------------------
     def __call__(self, environ, start_response):

@@ -16,6 +16,7 @@ class Client:
     def __init__(self, app):
         self.app = app
         self.cookies = {}
+        self.last_set_cookie = None     # raw header, attribute assertions
 
     def request(self, method, path, json_body=None, files=None, form=None,
                 headers=None):
@@ -62,6 +63,7 @@ class Client:
             captured["headers"] = headers
             for k, v in headers:
                 if k == "Set-Cookie":
+                    self.last_set_cookie = v
                     name, _, rest = v.partition("=")
                     self.cookies[name] = rest.split(";")[0]
 
@@ -421,3 +423,13 @@ def test_round1_database_migrates(tmp_path):
                      "WHERE Email='new@x.com'") is not None
     st, r = c.get("/get_recent_uploaded_times")
     assert st == 200 and len(r["timestamps"]) == 1
+
+
+def test_session_cookie_attributes(client):
+    """The signed session cookie must carry HttpOnly (no JS access) and
+    SameSite=Lax (no cross-site POST rides — CSRF containment for the
+    state-changing JSON routes)."""
+    _signup_and_login(client)
+    raw = client.last_set_cookie
+    assert raw is not None
+    assert "HttpOnly" in raw and "SameSite=Lax" in raw and "Path=/" in raw
