@@ -57,53 +57,40 @@ def main(argv=None) -> None:
     paths = []
     for pat in args.p_images:
         hits = sorted(glob.glob(pat))
-        paths.extend(hits if hits else [pat])
-    if not paths:
-        raise SystemExit("no images matched --p_images")
+        if not hits:
+            # a miss must fail NOW, not as a FileNotFoundError on the
+            # literal pattern string after earlier chunks already wrote
+            raise SystemExit(f"--p_images pattern matched nothing: {pat}")
+        paths.extend(hits)
     os.makedirs(args.out, exist_ok=True)
 
-    import jax
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image
 
     from sod_tpu.config import Config, load_config
     from sod_tpu.data.augment import resize_pil
-    from sod_tpu.models.maskformer import config_from, maskformer_init
     from sod_tpu.serving.inference import _JET_LUT, SelfMaskInference
 
     cfg = load_config(args.config) if args.config else Config()
     if args.quantize is not None:
         cfg = cfg.replace(quantize=args.quantize)
-
-    if args.p_state_dict and args.p_state_dict.endswith((".pt", ".pth",
-                                                         ".tar")):
-        from sod_tpu.models.convert import convert_maskformer, load_torch_state_dict
-
-        sd = load_torch_state_dict(args.p_state_dict)
-        params = jax.tree.map(jnp.asarray, convert_maskformer(
-            sd, n_decoder_layers=cfg.n_decoder_layers,
-            use_binary_classifier=cfg.use_binary_classifier))
-        print(f"Pre-trained weights are loaded from {args.p_state_dict}")
-    elif args.p_state_dict:
-        from sod_tpu.train.checkpoints import restore_checkpoint
-
-        params = restore_checkpoint(args.p_state_dict)["params"]
-        print(f"Checkpoint restored from {args.p_state_dict}")
-    else:
+    if not args.p_state_dict:
         print("WARNING: no weights given — predicting with a randomly "
               "initialised model (smoke runs only).")
-        params = maskformer_init(jax.random.key(cfg.seed), config_from(cfg))
 
-    # the serving stack's model path (fused forward + objectness argmax +
-    # optional int8), without its warmup buckets or micro-batcher — this
-    # CLI drives full static batches itself
-    svc = SelfMaskInference(cfg=cfg, params=params, warmup=False)
+    # the serving stack's model path (weight loading — torch convert /
+    # orbax restore / seeded init — plus the fused forward, objectness
+    # argmax and optional int8), without its warmup buckets or
+    # micro-batcher: this CLI drives full static batches itself
+    svc = SelfMaskInference(model_path=args.p_state_dict, cfg=cfg,
+                            warmup=False)
     size = cfg.eval_image_size
     b = max(1, args.batch_size)
 
     t0 = time.perf_counter()
     n_done = 0
+    seen: dict = {}
     for lo in range(0, len(paths), b):
         chunk = paths[lo:lo + b]
         imgs, arrs = [], []
@@ -114,12 +101,17 @@ def main(argv=None) -> None:
                                    np.uint8))
         # pad to the static batch (one compiled program for every chunk)
         arr = np.stack(arrs + [arrs[-1]] * (b - len(arrs)))
-        masks, objs = svc._forward(svc.params, svc._prep(jnp.asarray(arr)))
+        masks, _ = svc._forward(svc.params, svc._prep(jnp.asarray(arr)))
         masks = np.clip(np.asarray(masks), 0.0, 1.0)
-        objs = np.asarray(objs)
 
         for i, (p, img) in enumerate(zip(chunk, imgs)):
             stem = os.path.splitext(os.path.basename(p))[0]
+            # same stem from different directories: suffix instead of
+            # silently overwriting the earlier mask
+            n = seen.get(stem)
+            seen[stem] = (n or 0) + 1
+            if n:
+                stem = f"{stem}_{n}"
             mask_img = Image.fromarray((masks[i] * 255).astype(np.uint8))
             mask_full = mask_img.resize(img.size, Image.LANCZOS)
             mask_full.convert("L").save(

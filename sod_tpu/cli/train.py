@@ -64,9 +64,13 @@ def main(argv=None) -> None:
     from sod_tpu.parallel import make_mesh, make_mesh_2d
     from sod_tpu.train import Trainer
 
-    if args.tp > 1:
-        n_dev = args.n_devices or len(jax.devices()) // args.tp
-        mesh = make_mesh_2d(n_dev, args.tp)
+    # --tp on the command line wins; otherwise honor the config's
+    # mesh_model_axis (the CLI's always-build-a-mesh default would
+    # silently preempt Trainer's own cfg fallback)
+    tp = args.tp if args.tp > 1 else getattr(cfg, "mesh_model_axis", 1)
+    if tp > 1:
+        n_dev = args.n_devices or len(jax.devices()) // tp
+        mesh = make_mesh_2d(n_dev, tp)
     else:
         n_dev = args.n_devices or len(jax.devices())
         mesh = make_mesh(n_dev) if n_dev > 1 else None

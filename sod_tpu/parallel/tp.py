@@ -63,7 +63,10 @@ def make_mesh_2d(n_data: Optional[int] = None, n_model: int = 1,
     if n_data is None:
         n_data = len(devices) // n_model
     total = n_data * n_model
-    if total > len(devices):
+    if total > len(devices) or total < 1:
+        # total < 1 covers n_model > len(devices): len//n_model == 0 would
+        # otherwise build a silent ZERO-device mesh that crashes obscurely
+        # at the first NamedSharding
         raise ValueError(
             f"requested {n_data}x{n_model} devices, have {len(devices)}")
     grid = np.asarray(devices[:total]).reshape(n_data, n_model)
@@ -143,20 +146,72 @@ def shard_params(params, mesh: Mesh):
     return jax.tree.map(jax.device_put, params, sh)
 
 
-def shard_opt_state(tx, params_sharded, opt_state=None):
-    """Optimizer state laid out like the params.
+def _path_str(entry) -> str:
+    """Normalize a tree-path entry (DictKey/GetAttrKey/SequenceKey) to a
+    comparable string."""
+    for attr in ("key", "name", "idx"):
+        if hasattr(entry, attr):
+            return str(getattr(entry, attr))
+    return str(entry)          # pragma: no cover - future key kinds
 
-    ``jit(tx.init)`` on sharded params propagates every param's sharding
-    onto its mirrored moment buffers (scalars replicate).  With
-    ``opt_state`` given (a restored checkpoint), its leaves are
-    device_put onto the freshly-propagated layout instead.
+
+def opt_state_shardings(tx, params_sharded):
+    """Sharding pytree for ``tx.init(params)`` mirroring the params' own
+    layout.
+
+    Optimizer moments (Adam's mu/nu etc.) are param-pytrees embedded in
+    the optax state, so every moment leaf's tree path ENDS WITH the path
+    of the param it mirrors — match by (path suffix, shape) and reuse
+    that param's sharding; everything else (step counters, masked-state
+    wrappers' scalars) replicates.  No jit involved: ``jit(tx.init)``
+    without out_shardings does NOT propagate input shardings (init has
+    no data dependency on the param values — it zeros_like them), which
+    would commit the full fp32 moment buffers to ONE device.
     """
-    live = jax.jit(tx.init)(params_sharded)
+    from jax.tree_util import tree_flatten_with_path
+
+    p_leaves, _ = tree_flatten_with_path(params_sharded)
+    by_path = {tuple(_path_str(e) for e in path): leaf.sharding
+               for path, leaf in p_leaves}
+    by_shape = {}
+    for path, leaf in p_leaves:
+        by_shape.setdefault(leaf.shape, set()).add(leaf.sharding)
+    mesh = p_leaves[0][1].sharding.mesh
+    rep = NamedSharding(mesh, P())
+
+    shapes = jax.eval_shape(tx.init, params_sharded)
+    o_leaves, treedef = tree_flatten_with_path(shapes)
+    out = []
+    for path, leaf in o_leaves:
+        p = tuple(_path_str(e) for e in path)
+        sh = rep
+        # longest suffix first: prefer the most specific param path (a
+        # short top-level param name could alias a nested one's tail)
+        for k in range(len(p), 0, -1):
+            cand = by_path.get(p[-k:])
+            if cand is not None:
+                # suffix hit — take it only when the shapes agree (a
+                # transformed-chain state could reuse a param name for a
+                # different buffer)
+                if by_shape.get(leaf.shape) and cand in by_shape[leaf.shape]:
+                    sh = cand
+                break
+        out.append(sh)
+    return jax.tree.unflatten(treedef, out)
+
+
+def shard_opt_state(tx, params_sharded, opt_state=None):
+    """Optimizer state laid out like the params (moments carry the
+    mirrored param's sharding, scalars replicate — see
+    :func:`opt_state_shardings`).  With ``opt_state`` given (a restored
+    checkpoint), its leaves are device_put onto that layout instead of
+    re-initialising."""
+    shardings = opt_state_shardings(tx, params_sharded)
     if opt_state is None:
-        return live
+        return jax.jit(tx.init, out_shardings=shardings)(params_sharded)
     return jax.tree.map(
-        lambda r, l: jax.device_put(jax.numpy.asarray(r), l.sharding),
-        opt_state, live)
+        lambda r, s: jax.device_put(jax.numpy.asarray(r), s),
+        opt_state, shardings)
 
 
 def assert_tp_compatible(cfg, mesh: Mesh) -> None:

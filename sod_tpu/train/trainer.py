@@ -25,7 +25,7 @@ from sod_tpu.data import DataLoader, get_dataset
 from sod_tpu.data.loader import collate_train
 from sod_tpu.metrics import AverageMeter
 from sod_tpu.models.maskformer import config_from, maskformer_init
-from sod_tpu.parallel import make_mesh, replicated, shard_batch
+from sod_tpu.parallel import make_mesh, shard_batch
 from sod_tpu.train.checkpoints import save_checkpoint
 from sod_tpu.train.evaluator import Evaluator
 from sod_tpu.train.logging import MetricLogger
@@ -76,7 +76,6 @@ class Trainer:
         # like the reference's default DataLoader length
         n_iters = max(1, -(-len(self.dataset) // cfg.batch_size))
         self.tx = build_optimizer(cfg, n_iters_per_epoch=n_iters)
-        self.opt_state = self.tx.init(self.params)
         self.train_step = make_train_step(
             cfg, self.tx, self.mcfg,
             accum_steps=max(1, cfg.grad_accum_steps),
@@ -95,15 +94,19 @@ class Trainer:
             self.mesh = (make_mesh(cfg.mesh_data_axis)
                          if cfg.mesh_data_axis > 1 else None)
         if self.mesh is not None:
-            # TP meshes shard weights per parallel/tp.py rules (and the
-            # optimizer moments follow by propagation); 1-D data meshes
-            # replicate everything, exactly as before
+            # TP meshes shard weights per parallel/tp.py rules and lay the
+            # optimizer moments out to match (opt_state_shardings); 1-D
+            # data meshes replicate everything, exactly as before.  The
+            # moments are initialised directly INTO that layout — a plain
+            # tx.init first would materialise them unsharded.
             from sod_tpu.parallel import (assert_tp_compatible, shard_opt_state,
                                           shard_params)
 
             assert_tp_compatible(cfg, self.mesh)
             self.params = shard_params(self.params, self.mesh)
             self.opt_state = shard_opt_state(self.tx, self.params)
+        else:
+            self.opt_state = self.tx.init(self.params)
 
         self.evaluator = evaluator
         self.logger = MetricLogger(self.dir_ckpt, name=self.experim_name)

@@ -34,8 +34,11 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         # cache even fast compiles: the tunnel's constant per-compile
         # round trips dominate, not local codegen time
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        # subprocesses (fresh interpreters) pick the env var up in time
-        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+        # subprocesses (fresh interpreters) pick the env var up in time —
+        # set unconditionally so they use THE SAME directory as this
+        # process even when a different JAX_COMPILATION_CACHE_DIR was
+        # already exported
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
         return cache_dir
     except Exception as e:  # pragma: no cover - depends on jax build
         import warnings

@@ -55,6 +55,46 @@ def test_mesh_2d_construction():
     assert make_mesh_2d(n_model=4).shape["data"] == 2   # 8 devices / 4
     with pytest.raises(ValueError):
         make_mesh_2d(8, 4)
+    # n_model > device count must raise, not build a silent 0-device mesh
+    # (len(devices) // n_model == 0)
+    with pytest.raises(ValueError):
+        make_mesh_2d(n_model=999)
+
+
+def test_opt_state_shardings_mirror_params(rng):
+    """Adam moments must carry the mirrored param's TP sharding FROM
+    INITIALISATION (jit(tx.init) without out_shardings would commit the
+    full fp32 moment buffers to one device — the OOM TP exists to
+    avoid); scalars replicate."""
+    cfg, mcfg, params, tx = _setup(8)
+    mesh = make_mesh_2d(2, 4)
+    p_tp = shard_params(params, mesh)
+    opt = shard_opt_state(tx, p_tp)
+
+    flat_p = {tuple(str(getattr(e, "key", e)) for e in path): leaf
+              for path, leaf in
+              jax.tree_util.tree_flatten_with_path(p_tp)[0]}
+    n_sharded = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(opt)[0]:
+        if leaf.ndim == 0:
+            assert leaf.sharding.is_fully_replicated, path
+            continue
+        # moment leaves mirror a param: same trailing path + sharding
+        p = tuple(str(getattr(e, "key", getattr(e, "idx", e)))
+                  for e in path)
+        for k in range(len(p), 0, -1):
+            if p[-k:] in flat_p:
+                ref = flat_p[p[-k:]]
+                assert leaf.sharding == ref.sharding, path
+                n_sharded += not ref.sharding.is_fully_replicated
+                break
+    assert n_sharded > 0, "no moment leaf is actually TP-sharded"
+    # a restored (host) opt state lands on the same layout
+    host = jax.device_get(opt)
+    opt2 = shard_opt_state(tx, p_tp, opt_state=host)
+    for a, b_ in zip(jax.tree.leaves(opt), jax.tree.leaves(opt2)):
+        assert a.sharding == b_.sharding
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
 
 
 def test_tp_spec_rules():
