@@ -29,6 +29,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--use_gpu", type=bool, default=True)   # parity; unused
     p.add_argument("--gpu_id", type=int, default=0)        # parity; unused
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="data-parallel mesh size: shard each batch's "
+                        "extract+cluster program over the mesh (default: "
+                        "single device)")
     p.add_argument("--dino_ckpt", type=str, default=None)
     p.add_argument("--mocov2_ckpt", type=str, default=None)
     p.add_argument("--swav_ckpt", type=str, default=None)
@@ -64,11 +68,18 @@ def main(argv=None) -> None:
 
     from sod_tpu.data.mask_generator import MaskGenerator
 
+    mesh = None
+    if args.n_devices and args.n_devices > 1:
+        from sod_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.n_devices)
+
     gen = MaskGenerator(
         cluster_sizes=args.cluster_sizes, cluster_type=args.cluster_type,
         feature_types=args.feature_types, patch_size=args.patch_size,
         image_size=args.image_size, scale_factor=args.scale_factor,
-        batch_size=args.batch_size, seed=args.seed, params=params)
+        batch_size=args.batch_size, seed=args.seed, params=params,
+        mesh=mesh)
     masks = gen(paths)
     with open(args.fp, "w") as f:
         json.dump(masks, f)

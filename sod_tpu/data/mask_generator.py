@@ -72,8 +72,15 @@ class MaskGenerator:
         batch_size: int = 16,
         seed: int = 0,
         params: Optional[Dict[str, dict]] = None,
+        mesh=None,
     ):
+        """:param mesh: optional ``jax.sharding.Mesh`` — each batch's
+        extract+cluster program shards its image axis over the mesh's
+        ``data`` axis (params replicated; per-image math is untouched, so
+        labels equal the single-device run).  The DUTS 10k pass is
+        ~13 min on one chip; a data mesh divides it by the axis size."""
         assert cluster_type in ("spectral", "k-means")
+        self.mesh = mesh
         self.cluster_sizes = list(cluster_sizes)
         self.cluster_type = cluster_type
         self.feature_types = list(feature_types)
@@ -192,10 +199,22 @@ class MaskGenerator:
         params = {ft: self._get_params(ft) for ft in self.feature_types}
         fns = {ft: self._extract_cluster_fn(ft)
                for ft in self.feature_types}
+        n_data = 1
+        if self.mesh is not None:
+            from sod_tpu.parallel import batch_sharding, replicated
+
+            rep = replicated(self.mesh)
+            params = {ft: jax.device_put(p, rep) for ft, p in params.items()}
+            bsh = batch_sharding(self.mesh)
+            n_data = (self.mesh.shape.get("data", self.mesh.devices.size)
+                      if "data" in self.mesh.axis_names
+                      else self.mesh.devices.size)
 
         def finalize(pending):
             samples, results = pending
-            labels_np = {(ft, k): np.asarray(results[ft][k])
+            # [:len(samples)] trims the wrap-padding rows added below for
+            # mesh divisibility of a ragged final batch
+            labels_np = {(ft, k): np.asarray(results[ft][k])[:len(samples)]
                          for ft in self.feature_types
                          for k in self.cluster_sizes}
             for i, smp in enumerate(samples):
@@ -209,7 +228,15 @@ class MaskGenerator:
 
         pending = None
         for samples in loader:
-            x = jnp.asarray(np.stack([s["image_u8"] for s in samples]))
+            arr = np.stack([s["image_u8"] for s in samples])
+            if len(arr) % n_data:
+                # wrap-pad a ragged final batch to the data-axis multiple
+                # (every shard needs equal rows); finalize trims the copies
+                pad = n_data - len(arr) % n_data
+                arr = np.concatenate([arr, arr[-1:].repeat(pad, axis=0)])
+            x = jnp.asarray(arr)
+            if self.mesh is not None:
+                x = jax.device_put(x, bsh)
             # dispatch all backbones for THIS batch (async through the
             # tunnel) before paying the fetch for the previous one
             results = {ft: fns[ft](params[ft], x)

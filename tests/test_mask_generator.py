@@ -94,3 +94,30 @@ def test_mask_generator_end_to_end(tmp_path, rng):
         mask = rle_codec.decode(enc)
         assert mask.shape == (32, 32)
         assert 0 < mask.sum() < 32 * 32
+
+
+def test_mask_generator_with_mesh_matches_single_device(tmp_path, rng):
+    """A data mesh shards each extract+cluster batch; per-image math is
+    untouched, so the RLEs equal the single-device run — including the
+    ragged final batch (5 images at batch 4 over 4 devices exercises the
+    wrap-padding path)."""
+    from sod_tpu.parallel import make_mesh
+
+    paths = []
+    for i in range(5):
+        img = np.full((64, 80, 3), 30, np.uint8)
+        img[16:48, 20:60] = 220
+        img += rng.randint(0, 10, img.shape).astype(np.uint8)
+        fp = tmp_path / f"img_{i}.jpg"
+        Image.fromarray(img).save(fp)
+        paths.append(str(fp))
+
+    kw = dict(cluster_sizes=[2, 3], cluster_type="spectral",
+              feature_types=["dino"], patch_size=8, image_size=32,
+              scale_factor=2, batch_size=4, seed=0)
+    single = MaskGenerator(**kw)(paths)
+    sharded = MaskGenerator(**kw, mesh=make_mesh(4))(paths)
+    assert set(single) == set(sharded)
+    for k in single:
+        np.testing.assert_array_equal(rle_codec.decode(single[k]),
+                                      rle_codec.decode(sharded[k]), err_msg=k)
