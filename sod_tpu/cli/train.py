@@ -30,6 +30,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="tensor-parallel mesh size (Megatron-style weight "
                         "sharding, parallel/tp.py; total devices = "
                         "n_devices x tp; requires the XLA compute path)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages (GPipe over the ViT block "
+                        "stack, parallel/pp.py; encoder depth must divide "
+                        "evenly; total devices = n_devices x pp; XLA path; "
+                        "mutually exclusive with --tp)")
     p.add_argument("--resume", action="store_true",
                    help="resume from this experiment's latest_model "
                         "checkpoint (capability the reference lacks)")
@@ -61,16 +66,22 @@ def main(argv=None) -> None:
 
     import jax
 
-    from sod_tpu.parallel import make_mesh, make_mesh_2d
+    from sod_tpu.parallel import make_mesh, make_mesh_2d, make_mesh_pp
     from sod_tpu.train import Trainer
 
-    # --tp on the command line wins; otherwise honor the config's
-    # mesh_model_axis (the CLI's always-build-a-mesh default would
-    # silently preempt Trainer's own cfg fallback)
+    # --tp/--pp on the command line win; otherwise honor the config's
+    # mesh_model_axis/mesh_pipe_axis (the CLI's always-build-a-mesh
+    # default would silently preempt Trainer's own cfg fallback)
     tp = args.tp if args.tp > 1 else getattr(cfg, "mesh_model_axis", 1)
+    pp = args.pp if args.pp > 1 else getattr(cfg, "mesh_pipe_axis", 1)
+    if tp > 1 and pp > 1:
+        raise SystemExit("--tp and --pp are mutually exclusive")
     if tp > 1:
         n_dev = args.n_devices or len(jax.devices()) // tp
         mesh = make_mesh_2d(n_dev, tp)
+    elif pp > 1:
+        n_dev = args.n_devices or len(jax.devices()) // pp
+        mesh = make_mesh_pp(n_dev, pp)
     else:
         n_dev = args.n_devices or len(jax.devices())
         mesh = make_mesh(n_dev) if n_dev > 1 else None

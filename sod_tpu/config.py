@@ -99,6 +99,14 @@ class Config:
     mesh_model_axis: int = 1          # tensor-parallel mesh size (Megatron-
                                       # style sharding rules, parallel/tp.py;
                                       # requires the XLA compute path)
+    mesh_pipe_axis: int = 1           # pipeline-parallel stages (GPipe over
+                                      # the ViT block stack, parallel/pp.py;
+                                      # depth must divide evenly; XLA path;
+                                      # mutually exclusive with
+                                      # mesh_model_axis > 1)
+    pp_microbatches: int = 0          # GPipe micro-batches per step (0 =
+                                      # one per stage; bubble fraction is
+                                      # (S-1)/(M+S-1) — raise M to amortise)
     grad_accum_steps: int = 1         # micro-batches per optimizer step
                                       # (batch_size must divide evenly)
     grad_accum_mode: str = "averaged"  # "averaged": each micro loss

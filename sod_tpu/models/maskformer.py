@@ -265,7 +265,8 @@ def forward_pixel_decoder(patch_tokens: jax.Array, grid_hw, cfg: MaskFormerConfi
 def maskformer_apply(params: dict, x: jax.Array, cfg: MaskFormerConfig,
                      encoder_only: bool = False,
                      fused: bool = False,
-                     train: bool = False) -> Dict[str, jax.Array]:
+                     train: bool = False,
+                     encoder_apply=None) -> Dict[str, jax.Array]:
     """Full forward (ref ``maskformer.py:164-251``).
 
     :param x: [B, H, W, 3] normalized images.
@@ -273,6 +274,11 @@ def maskformer_apply(params: dict, x: jax.Array, cfg: MaskFormerConfig,
         BatchNorm uses live batch statistics and the output carries
         ``batch_stats`` (EMA-updated buffers) for the train step to merge
         back into params.  No-op for the ViT encoder (LayerNorm).
+    :param encoder_apply: optional ViT-encoder override
+        ``(encoder_params, x) -> [B, 1+N, D]`` normed last-layer tokens —
+        the hook the pipeline-parallel path (``parallel/pp.py``) plugs a
+        stage-sharded encoder into; must be identical math to
+        ``vit_apply(all_layers=False)``.
     :return: dict with
         ``mask_pred``  [B, L, Q, h, w]  (sigmoid),
         ``objectness`` [B, L, Q, 1]     (sigmoid; binary-classifier mode),
@@ -283,7 +289,9 @@ def maskformer_apply(params: dict, x: jax.Array, cfg: MaskFormerConfig,
     if cfg.arch == "vit_small":
         padded = make_input_divisible(x, cfg.vit.patch_size)
         gh, gw = padded.shape[1] // cfg.vit.patch_size, padded.shape[2] // cfg.vit.patch_size
-        if fused:
+        if encoder_apply is not None:
+            memory = encoder_apply(params["encoder"], x)[:, 1:, :]
+        elif fused:
             tokens = vit_apply(params["encoder"], x, cfg.vit,
                                all_layers=False, fused=True)
             memory = tokens[:, 1:, :]

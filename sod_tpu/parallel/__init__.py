@@ -4,6 +4,15 @@ from sod_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from sod_tpu.parallel.pp import (  # noqa: F401
+    assert_pp_compatible,
+    make_mesh_pp,
+    make_pp_apply,
+    pp_param_shardings,
+    pp_specs,
+    pp_vit_apply,
+    shard_params_pp,
+)
 from sod_tpu.parallel.tp import (  # noqa: F401
     assert_tp_compatible,
     make_mesh_2d,

@@ -50,7 +50,8 @@ def _jit_train(fn, micro_batch: int = 0, fused: bool = False):
 
 def make_train_step(cfg: Config, tx: optax.GradientTransformation,
                     mcfg: Optional[MaskFormerConfig] = None,
-                    accum_steps: int = 1, mode: str = "averaged") -> Callable:
+                    accum_steps: int = 1, mode: str = "averaged",
+                    apply_fn: Optional[Callable] = None) -> Callable:
     """Build the jitted train step.
 
     batch: {"image": [B, H, W, 3], "gt_masks": [B, M, Hm, Wm] float,
@@ -61,6 +62,10 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
         the batch is split into ``accum_steps`` micro-batches scanned
         inside the jit (ONE optimizer update), letting the effective
         batch exceed what fits in HBM at once.
+    :param apply_fn: optional ``maskformer_apply``-compatible override
+        ``(params, x, mcfg, train=...) -> out dict`` — the hook the
+        pipeline-parallel path (``parallel/pp.py::make_pp_apply``) plugs
+        a stage-sharded forward into; must be identical math.
     :param mode: accumulation semantics (``Config.grad_accum_mode``):
 
         * ``"averaged"`` (default) — *averaged-micro-loss*: the
@@ -108,6 +113,8 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
 
             x = normalize_device(x)
         x = x.astype(compute_dtype)
+        if apply_fn is not None:
+            return apply_fn(params, x, mcfg, train=True)
         return maskformer_apply(params, x, mcfg, train=True)
 
     def loss_fn(params, batch):

@@ -76,10 +76,6 @@ class Trainer:
         # like the reference's default DataLoader length
         n_iters = max(1, -(-len(self.dataset) // cfg.batch_size))
         self.tx = build_optimizer(cfg, n_iters_per_epoch=n_iters)
-        self.train_step = make_train_step(
-            cfg, self.tx, self.mcfg,
-            accum_steps=max(1, cfg.grad_accum_steps),
-            mode=cfg.grad_accum_mode)
         self.n_iters_per_epoch = n_iters
 
         if mesh is not None:
@@ -90,20 +86,42 @@ class Trainer:
             self.mesh = make_mesh_2d(
                 cfg.mesh_data_axis if cfg.mesh_data_axis > 1 else None,
                 cfg.mesh_model_axis)
+        elif getattr(cfg, "mesh_pipe_axis", 1) > 1:
+            from sod_tpu.parallel import make_mesh_pp
+
+            self.mesh = make_mesh_pp(
+                cfg.mesh_data_axis if cfg.mesh_data_axis > 1 else None,
+                cfg.mesh_pipe_axis)
         else:
             self.mesh = (make_mesh(cfg.mesh_data_axis)
                          if cfg.mesh_data_axis > 1 else None)
+
+        # pipe meshes run the encoder through the GPipe stage program
+        # (parallel/pp.py) — the train step's forward is swapped wholesale
+        apply_fn = None
+        if (self.mesh is not None and "pipe" in self.mesh.axis_names
+                and self.mesh.shape["pipe"] > 1):
+            from sod_tpu.parallel import assert_pp_compatible, make_pp_apply
+
+            n_micro = getattr(cfg, "pp_microbatches", 0) or None
+            assert_pp_compatible(cfg, self.mesh, n_micro or
+                                 self.mesh.shape["pipe"])
+            apply_fn = make_pp_apply(self.mesh, n_micro)
+        self.train_step = make_train_step(
+            cfg, self.tx, self.mcfg,
+            accum_steps=max(1, cfg.grad_accum_steps),
+            mode=cfg.grad_accum_mode, apply_fn=apply_fn)
+
         if self.mesh is not None:
-            # TP meshes shard weights per parallel/tp.py rules and lay the
-            # optimizer moments out to match (opt_state_shardings); 1-D
-            # data meshes replicate everything, exactly as before.  The
+            # TP meshes shard weights per parallel/tp.py rules, PP meshes
+            # layer-shard the block stacks per parallel/pp.py, and the
+            # optimizer moments are laid out to match (opt_state_shardings);
+            # 1-D data meshes replicate everything, exactly as before.  The
             # moments are initialised directly INTO that layout — a plain
             # tx.init first would materialise them unsharded.
-            from sod_tpu.parallel import (assert_tp_compatible, shard_opt_state,
-                                          shard_params)
+            self.params = self._shard_model_params(self.params)
+            from sod_tpu.parallel import shard_opt_state
 
-            assert_tp_compatible(cfg, self.mesh)
-            self.params = shard_params(self.params, self.mesh)
             self.opt_state = shard_opt_state(self.tx, self.params)
         else:
             self.opt_state = self.tx.init(self.params)
@@ -114,6 +132,21 @@ class Trainer:
         self.best_scores: Dict[str, float] = {}
 
         cfg.dump_json(os.path.join(self.dir_ckpt, "config.json"))
+
+    # ------------------------------------------------------------------
+    def _shard_model_params(self, params):
+        """Lay the param tree out for this Trainer's mesh: pipe meshes
+        layer-shard the block stacks (parallel/pp.py), model meshes apply
+        the Megatron TP rules (parallel/tp.py), plain data meshes
+        replicate."""
+        if "pipe" in self.mesh.axis_names and self.mesh.shape["pipe"] > 1:
+            from sod_tpu.parallel import shard_params_pp
+
+            return shard_params_pp(params, self.mesh, self.mcfg.vit.depth)
+        from sod_tpu.parallel import assert_tp_compatible, shard_params
+
+        assert_tp_compatible(self.cfg, self.mesh)
+        return shard_params(params, self.mesh)
 
     # ------------------------------------------------------------------
     def resume(self, path: Optional[str] = None) -> int:
@@ -173,9 +206,9 @@ class Trainer:
                 if float(v) > self.best_scores.get(k, -1.0):
                     self.best_scores[k] = float(v)
         if self.mesh is not None:
-            from sod_tpu.parallel import shard_opt_state, shard_params
+            from sod_tpu.parallel import shard_opt_state
 
-            self.params = shard_params(self.params, self.mesh)
+            self.params = self._shard_model_params(self.params)
             self.opt_state = shard_opt_state(self.tx, self.params,
                                              opt_state=self.opt_state)
         return int(state.get("epoch", 0)) + 1
