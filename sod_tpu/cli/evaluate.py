@@ -34,6 +34,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel mesh size (parallel/tp.py; "
                         "requires the XLA compute path)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel ring size (ring attention over "
+                        "the canvas token axis, parallel/sp.py; XLA path; "
+                        "mutually exclusive with --tp)")
     return p
 
 
@@ -71,10 +75,16 @@ def main(argv=None) -> None:
         params = maskformer_init(jax.random.key(cfg.seed), mcfg)
 
     mesh = None
+    if args.tp > 1 and args.sp > 1:
+        raise SystemExit("--tp and --sp are mutually exclusive")
     if args.tp > 1:
         from sod_tpu.parallel import make_mesh_2d
 
         mesh = make_mesh_2d(args.n_devices, args.tp)
+    elif args.sp > 1:
+        from sod_tpu.parallel import make_mesh_sp
+
+        mesh = make_mesh_sp(args.n_devices, args.sp)
     elif args.n_devices and args.n_devices > 1:
         from sod_tpu.parallel import make_mesh
 

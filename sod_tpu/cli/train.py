@@ -35,6 +35,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "stack, parallel/pp.py; encoder depth must divide "
                         "evenly; total devices = n_devices x pp; XLA path; "
                         "mutually exclusive with --tp)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel ring size (ring attention over "
+                        "the token axis, parallel/sp.py; total devices = "
+                        "n_devices x sp; XLA path; mutually exclusive with "
+                        "--tp/--pp)")
     p.add_argument("--resume", action="store_true",
                    help="resume from this experiment's latest_model "
                         "checkpoint (capability the reference lacks)")
@@ -74,14 +79,20 @@ def main(argv=None) -> None:
     # default would silently preempt Trainer's own cfg fallback)
     tp = args.tp if args.tp > 1 else getattr(cfg, "mesh_model_axis", 1)
     pp = args.pp if args.pp > 1 else getattr(cfg, "mesh_pipe_axis", 1)
-    if tp > 1 and pp > 1:
-        raise SystemExit("--tp and --pp are mutually exclusive")
+    sp = args.sp if args.sp > 1 else getattr(cfg, "mesh_seq_axis", 1)
+    if sum(ax > 1 for ax in (tp, pp, sp)) > 1:
+        raise SystemExit("--tp, --pp and --sp are mutually exclusive")
     if tp > 1:
         n_dev = args.n_devices or len(jax.devices()) // tp
         mesh = make_mesh_2d(n_dev, tp)
     elif pp > 1:
         n_dev = args.n_devices or len(jax.devices()) // pp
         mesh = make_mesh_pp(n_dev, pp)
+    elif sp > 1:
+        from sod_tpu.parallel import make_mesh_sp
+
+        n_dev = args.n_devices or len(jax.devices()) // sp
+        mesh = make_mesh_sp(n_dev, sp)
     else:
         n_dev = args.n_devices or len(jax.devices())
         mesh = make_mesh(n_dev) if n_dev > 1 else None

@@ -104,6 +104,11 @@ class Config:
                                       # depth must divide evenly; XLA path;
                                       # mutually exclusive with
                                       # mesh_model_axis > 1)
+    mesh_seq_axis: int = 1            # sequence-parallel ring size (ring
+                                      # attention over the token axis,
+                                      # parallel/sp.py; XLA path; mutually
+                                      # exclusive with mesh_model_axis /
+                                      # mesh_pipe_axis > 1)
     pp_microbatches: int = 0          # GPipe micro-batches per step (0 =
                                       # one per stage; bubble fraction is
                                       # (S-1)/(M+S-1) — raise M to amortise)

@@ -337,7 +337,8 @@ def maskformer_apply_canvas(params: dict, x: jax.Array,
                             token_mask: jax.Array,
                             pos_embed_override: jax.Array,
                             grid_sizes: jax.Array,
-                            fused: bool = False) -> Dict[str, jax.Array]:
+                            fused: bool = False,
+                            encoder_apply=None) -> Dict[str, jax.Array]:
     """Fixed-canvas forward for variable-resolution batched evaluation.
 
     The reference evaluates each image at its own (padded-to-patch) original
@@ -360,13 +361,24 @@ def maskformer_apply_canvas(params: dict, x: jax.Array,
     full batching.  ``grid_sizes``: [B, 2] int (gh, gw) per image.
     Returns full-canvas ``mask_pred`` [B, L, Q, 2G_h, 2G_w] — callers crop
     to each image's valid region.
+
+    :param encoder_apply: optional ViT-encoder override
+        ``(encoder_params, x, token_mask, pos_embed_override) -> [B, 1+N, D]``
+        normed last-layer tokens — the hook the sequence-parallel path
+        (``parallel/sp.py``) plugs a token-sharded ring-attention encoder
+        into (the canvas is exactly the long-token case SP exists for);
+        must be identical math to ``vit_apply(all_layers=False)``.
     """
     assert cfg.arch == "vit_small", "canvas path is for the ViT encoder"
     from sod_tpu.models.vit import vit_apply
 
-    tokens = vit_apply(params["encoder"], x, cfg.vit, all_layers=False,
-                       token_mask=token_mask,
-                       pos_embed_override=pos_embed_override, fused=fused)
+    if encoder_apply is not None:
+        tokens = encoder_apply(params["encoder"], x, token_mask,
+                               pos_embed_override)
+    else:
+        tokens = vit_apply(params["encoder"], x, cfg.vit, all_layers=False,
+                           token_mask=token_mask,
+                           pos_embed_override=pos_embed_override, fused=fused)
     memory = tokens[:, 1:, :]                                  # [B, N, D]
     patch_mask = token_mask[:, 1:]
 

@@ -13,6 +13,13 @@ from sod_tpu.parallel.pp import (  # noqa: F401
     pp_vit_apply,
     shard_params_pp,
 )
+from sod_tpu.parallel.sp import (  # noqa: F401
+    assert_sp_compatible,
+    make_mesh_sp,
+    make_sp_apply,
+    ring_attention,
+    sp_vit_apply,
+)
 from sod_tpu.parallel.tp import (  # noqa: F401
     assert_tp_compatible,
     make_mesh_2d,

@@ -107,11 +107,13 @@ class Evaluator:
         self.vis_every = max(1, vis_every)
         self.mesh = mesh
         if mesh is not None:
-            from sod_tpu.parallel import assert_tp_compatible, shard_params
+            from sod_tpu.parallel import (assert_sp_compatible,
+                                          assert_tp_compatible, shard_params)
 
             assert_tp_compatible(cfg, mesh)
-            # TP meshes shard the weights (parallel/tp.py rules); 1-D data
-            # meshes replicate them, as before
+            assert_sp_compatible(cfg, mesh)
+            # TP meshes shard the weights (parallel/tp.py rules); seq and
+            # 1-D data meshes replicate them, as before
             self.params = shard_params(self.params, mesh)
             n_data = (mesh.shape.get("data", mesh.devices.size)
                       if "data" in mesh.axis_names else mesh.devices.size)
@@ -211,11 +213,23 @@ class Evaluator:
             #   chunked attention+proj -> fused MLP kernels; tanh-GELU) —
             #   round 3's replacement for the whole-block kernel that
             #   couldn't compile past 1024 tokens (VERDICT r2 item 2)
+            # seq meshes run the canvas encoder token-sharded with ring
+            # attention (parallel/sp.py) — the canvas is exactly the
+            # long-token case SP exists for
+            encoder_apply = None
+            if (self.mesh is not None and "seq" in self.mesh.axis_names
+                    and self.mesh.shape["seq"] > 1):
+                from sod_tpu.parallel import sp_vit_apply
+
+                encoder_apply = lambda p_, x_, tm, pe: sp_vit_apply(  # noqa: E731
+                    p_, x_, mcfg.vit, self.mesh, all_layers=False,
+                    token_mask=tm, pos_embed_override=pe)
             out = maskformer_apply_canvas(
                 params, image.astype(compute_dtype), mcfg,
                 token_mask=token_mask, pos_embed_override=pos_embed,
                 grid_sizes=grid_sizes,
-                fused=getattr(self.cfg, "use_fused_eval", False))
+                fused=getattr(self.cfg, "use_fused_eval", False),
+                encoder_apply=encoder_apply)
             masks = out["mask_pred"][:, -1].astype(jnp.float32)  # [B,Q,2G,2G]
             obj = out["objectness"][:, -1, :, 0].astype(jnp.float32)
             if getattr(self.cfg, "use_fused_eval", False):

@@ -92,6 +92,12 @@ class Trainer:
             self.mesh = make_mesh_pp(
                 cfg.mesh_data_axis if cfg.mesh_data_axis > 1 else None,
                 cfg.mesh_pipe_axis)
+        elif getattr(cfg, "mesh_seq_axis", 1) > 1:
+            from sod_tpu.parallel import make_mesh_sp
+
+            self.mesh = make_mesh_sp(
+                cfg.mesh_data_axis if cfg.mesh_data_axis > 1 else None,
+                cfg.mesh_seq_axis)
         else:
             self.mesh = (make_mesh(cfg.mesh_data_axis)
                          if cfg.mesh_data_axis > 1 else None)
@@ -107,6 +113,14 @@ class Trainer:
             assert_pp_compatible(cfg, self.mesh, n_micro or
                                  self.mesh.shape["pipe"])
             apply_fn = make_pp_apply(self.mesh, n_micro)
+        # seq meshes run the encoder token-sharded with ring attention
+        # (parallel/sp.py) — same wholesale forward swap as pipe
+        elif (self.mesh is not None and "seq" in self.mesh.axis_names
+                and self.mesh.shape["seq"] > 1):
+            from sod_tpu.parallel import assert_sp_compatible, make_sp_apply
+
+            assert_sp_compatible(cfg, self.mesh)
+            apply_fn = make_sp_apply(self.mesh)
         self.train_step = make_train_step(
             cfg, self.tx, self.mcfg,
             accum_steps=max(1, cfg.grad_accum_steps),
