@@ -40,6 +40,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "the token axis, parallel/sp.py; total devices = "
                         "n_devices x sp; XLA path; mutually exclusive with "
                         "--tp/--pp)")
+    p.add_argument("--fsdp", type=str, default=None,
+                   choices=["zero1", "full"],
+                   help="ZeRO/FSDP state sharding over the data axis "
+                        "(parallel/fsdp.py): zero1 shards the fp32 AdamW "
+                        "moments (any compute path), full stores the "
+                        "weights sharded too (XLA path); needs "
+                        "--n_devices > 1; exclusive with --tp/--pp/--sp")
     p.add_argument("--resume", action="store_true",
                    help="resume from this experiment's latest_model "
                         "checkpoint (capability the reference lacks)")
@@ -56,6 +63,8 @@ def main(argv=None) -> None:
         overrides["seed"] = args.seed
     if args.suffix is not None:
         overrides["suffix"] = args.suffix
+    if args.fsdp is not None:
+        overrides["fsdp"] = args.fsdp
     cfg = load_config(args.config, overrides)
     set_seeds(cfg.seed)
 

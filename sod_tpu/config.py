@@ -109,6 +109,14 @@ class Config:
                                       # parallel/sp.py; XLA path; mutually
                                       # exclusive with mesh_model_axis /
                                       # mesh_pipe_axis > 1)
+    fsdp: str = "none"                # ZeRO/FSDP state sharding over the
+                                      # data axis (parallel/fsdp.py):
+                                      # "zero1" shards the fp32 AdamW
+                                      # moments (works with every compute
+                                      # path incl. fused-train), "full"
+                                      # stores the weights sharded too
+                                      # (XLA path only); needs a data mesh
+                                      # axis > 1, exclusive with TP/PP/SP
     pp_microbatches: int = 0          # GPipe micro-batches per step (0 =
                                       # one per stage; bubble fraction is
                                       # (S-1)/(M+S-1) — raise M to amortise)

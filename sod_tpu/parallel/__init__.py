@@ -4,6 +4,12 @@ from sod_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from sod_tpu.parallel.fsdp import (  # noqa: F401
+    assert_fsdp_compatible,
+    fsdp_param_shardings,
+    fsdp_specs,
+    shard_params_fsdp,
+)
 from sod_tpu.parallel.pp import (  # noqa: F401
     assert_pp_compatible,
     make_mesh_pp,
@@ -23,6 +29,7 @@ from sod_tpu.parallel.sp import (  # noqa: F401
 from sod_tpu.parallel.tp import (  # noqa: F401
     assert_tp_compatible,
     make_mesh_2d,
+    opt_state_shardings,
     param_shardings,
     shard_opt_state,
     shard_params,

@@ -155,7 +155,7 @@ def _path_str(entry) -> str:
     return str(entry)          # pragma: no cover - future key kinds
 
 
-def opt_state_shardings(tx, params_sharded):
+def opt_state_shardings(tx, params_sharded, param_shardings=None):
     """Sharding pytree for ``tx.init(params)`` mirroring the params' own
     layout.
 
@@ -167,16 +167,30 @@ def opt_state_shardings(tx, params_sharded):
     without out_shardings does NOT propagate input shardings (init has
     no data dependency on the param values — it zeros_like them), which
     would commit the full fp32 moment buffers to ONE device.
+
+    :param param_shardings: optional NamedSharding pytree to mirror
+        INSTEAD of the params' own ``.sharding`` — the ZeRO-1 hook
+        (``parallel/fsdp.py``): moments shard over ``data`` while the
+        params they mirror stay replicated.
     """
     from jax.tree_util import tree_flatten_with_path
 
     p_leaves, _ = tree_flatten_with_path(params_sharded)
-    by_path = {tuple(_path_str(e) for e in path): leaf.sharding
-               for path, leaf in p_leaves}
+    if param_shardings is None:
+        sh_leaves = [leaf.sharding for _, leaf in p_leaves]
+    else:
+        sh_leaves = jax.tree.leaves(
+            param_shardings, is_leaf=lambda x: isinstance(x, NamedSharding))
+        if len(sh_leaves) != len(p_leaves):
+            raise ValueError(
+                f"param_shardings has {len(sh_leaves)} leaves, params have "
+                f"{len(p_leaves)}")
+    by_path = {tuple(_path_str(e) for e in path): sh
+               for (path, _), sh in zip(p_leaves, sh_leaves)}
     by_shape = {}
-    for path, leaf in p_leaves:
-        by_shape.setdefault(leaf.shape, set()).add(leaf.sharding)
-    mesh = p_leaves[0][1].sharding.mesh
+    for (path, leaf), sh in zip(p_leaves, sh_leaves):
+        by_shape.setdefault(leaf.shape, set()).add(sh)
+    mesh = sh_leaves[0].mesh
     rep = NamedSharding(mesh, P())
 
     shapes = jax.eval_shape(tx.init, params_sharded)
@@ -200,13 +214,15 @@ def opt_state_shardings(tx, params_sharded):
     return jax.tree.unflatten(treedef, out)
 
 
-def shard_opt_state(tx, params_sharded, opt_state=None):
+def shard_opt_state(tx, params_sharded, opt_state=None,
+                    param_shardings=None):
     """Optimizer state laid out like the params (moments carry the
     mirrored param's sharding, scalars replicate — see
-    :func:`opt_state_shardings`).  With ``opt_state`` given (a restored
-    checkpoint), its leaves are device_put onto that layout instead of
-    re-initialising."""
-    shardings = opt_state_shardings(tx, params_sharded)
+    :func:`opt_state_shardings`; ``param_shardings`` overrides the
+    mirrored layout, the ZeRO-1 hook).  With ``opt_state`` given (a
+    restored checkpoint), its leaves are device_put onto that layout
+    instead of re-initialising."""
+    shardings = opt_state_shardings(tx, params_sharded, param_shardings)
     if opt_state is None:
         return jax.jit(tx.init, out_shardings=shardings)(params_sharded)
     return jax.tree.map(

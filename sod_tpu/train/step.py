@@ -19,7 +19,8 @@ from sod_tpu.losses.criterion import criterion_forward
 from sod_tpu.models.maskformer import MaskFormerConfig, config_from, maskformer_apply
 
 
-def _jit_train(fn, micro_batch: int = 0, fused: bool = False):
+def _jit_train(fn, micro_batch: int = 0, fused: bool = False,
+               out_shardings=None):
     """jit; on TPU, fused-train programs get a raised scoped-VMEM limit.
 
     XLA's default scoped-VMEM budget (16.00-20.59 MB depending on live
@@ -42,16 +43,22 @@ def _jit_train(fn, micro_batch: int = 0, fused: bool = False):
         on_tpu = jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         on_tpu = False
+    # out_shardings pins the (params, opt_state, metrics) output layouts —
+    # the FSDP/ZeRO path (parallel/fsdp.py) needs this: without the pin,
+    # GSPMD's layout solver may return replicated moments and silently
+    # un-do the sharding's memory saving
+    kw = {} if out_shardings is None else {"out_shardings": out_shardings}
     if on_tpu and kib > 0:
         return jax.jit(fn, compiler_options={
-            "xla_tpu_scoped_vmem_limit_kib": kib})
-    return jax.jit(fn)
+            "xla_tpu_scoped_vmem_limit_kib": kib}, **kw)
+    return jax.jit(fn, **kw)
 
 
 def make_train_step(cfg: Config, tx: optax.GradientTransformation,
                     mcfg: Optional[MaskFormerConfig] = None,
                     accum_steps: int = 1, mode: str = "averaged",
-                    apply_fn: Optional[Callable] = None) -> Callable:
+                    apply_fn: Optional[Callable] = None,
+                    out_shardings=None) -> Callable:
     """Build the jitted train step.
 
     batch: {"image": [B, H, W, 3], "gt_masks": [B, M, Hm, Wm] float,
@@ -66,6 +73,10 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
         ``(params, x, mcfg, train=...) -> out dict`` — the hook the
         pipeline-parallel path (``parallel/pp.py::make_pp_apply``) plugs
         a stage-sharded forward into; must be identical math.
+    :param out_shardings: optional jit out_shardings for the
+        ``(params, opt_state, metrics)`` return — the FSDP/ZeRO path
+        (``parallel/fsdp.py``) pins the updated state back onto its
+        sharded layout with this.
     :param mode: accumulation semantics (``Config.grad_accum_mode``):
 
         * ``"averaged"`` (default) — *averaged-micro-loss*: the
@@ -151,7 +162,8 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
     micro_b = max(1, cfg.batch_size // max(1, accum_steps))
     if accum_steps <= 1:
         @functools.partial(_jit_train, micro_batch=micro_b,
-                           fused=cfg.use_fused_train)
+                           fused=cfg.use_fused_train,
+                           out_shardings=out_shardings)
         def train_step(params, opt_state, batch):
             (loss, (res, bn_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, batch)
@@ -169,10 +181,11 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
     if mode == "exact":
         return _make_exact_accum_step(cfg, tx, mcfg, accum_steps, micro_b,
                                       micro, forward, use_cls, _metrics,
-                                      merge_bn_stats)
+                                      merge_bn_stats, out_shardings)
 
     @functools.partial(_jit_train, micro_batch=micro_b,
-                       fused=cfg.use_fused_train)
+                       fused=cfg.use_fused_train,
+                       out_shardings=out_shardings)
     def train_step_accum(params, opt_state, batch):
 
         micro_batches = micro(batch)
@@ -204,7 +217,8 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
 
 
 def _make_exact_accum_step(cfg, tx, mcfg, accum_steps, micro_b, micro,
-                           forward, use_cls, _metrics, merge_bn_stats):
+                           forward, use_cls, _metrics, merge_bn_stats,
+                           out_shardings=None):
     """GradCache-style full-batch-equivalent gradient accumulation.
 
     The full-batch loss decomposes as
@@ -245,7 +259,8 @@ def _make_exact_accum_step(cfg, tx, mcfg, accum_steps, micro_b, micro,
         return main_sum, res, bn_stats, out
 
     @functools.partial(_jit_train, micro_batch=micro_b,
-                       fused=cfg.use_fused_train)
+                       fused=cfg.use_fused_train,
+                       out_shardings=out_shardings)
     def train_step_exact(params, opt_state, batch):
         micro_batches = micro(batch)
         img_valid = batch["gt_valid"].any(axis=1)                  # [B]

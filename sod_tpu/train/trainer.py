@@ -121,24 +121,36 @@ class Trainer:
 
             assert_sp_compatible(cfg, self.mesh)
             apply_fn = make_sp_apply(self.mesh)
-        self.train_step = make_train_step(
-            cfg, self.tx, self.mcfg,
-            accum_steps=max(1, cfg.grad_accum_steps),
-            mode=cfg.grad_accum_mode, apply_fn=apply_fn)
 
         if self.mesh is not None:
             # TP meshes shard weights per parallel/tp.py rules, PP meshes
-            # layer-shard the block stacks per parallel/pp.py, and the
-            # optimizer moments are laid out to match (opt_state_shardings);
-            # 1-D data meshes replicate everything, exactly as before.  The
-            # moments are initialised directly INTO that layout — a plain
-            # tx.init first would materialise them unsharded.
+            # layer-shard the block stacks per parallel/pp.py, FSDP
+            # data-shards the stored state per parallel/fsdp.py, and the
+            # optimizer moments are laid out to match (opt_state_shardings;
+            # under ZeRO-1 they shard while the params they mirror stay
+            # replicated — _zero1_layout); 1-D data meshes replicate
+            # everything, exactly as before.  The moments are initialised
+            # directly INTO that layout — a plain tx.init first would
+            # materialise them unsharded.
             self.params = self._shard_model_params(self.params)
             from sod_tpu.parallel import shard_opt_state
 
-            self.opt_state = shard_opt_state(self.tx, self.params)
+            self.opt_state = shard_opt_state(
+                self.tx, self.params, param_shardings=self._zero1_layout())
         else:
+            if getattr(cfg, "fsdp", "none") != "none":
+                from sod_tpu.parallel import assert_fsdp_compatible
+
+                # no mesh -> nothing to shard over; fail loudly instead
+                # of silently training unsharded
+                assert_fsdp_compatible(cfg, None)
             self.opt_state = self.tx.init(self.params)
+
+        self.train_step = make_train_step(
+            cfg, self.tx, self.mcfg,
+            accum_steps=max(1, cfg.grad_accum_steps),
+            mode=cfg.grad_accum_mode, apply_fn=apply_fn,
+            out_shardings=self._step_out_shardings())
 
         self.evaluator = evaluator
         self.logger = MetricLogger(self.dir_ckpt, name=self.experim_name)
@@ -151,16 +163,55 @@ class Trainer:
     def _shard_model_params(self, params):
         """Lay the param tree out for this Trainer's mesh: pipe meshes
         layer-shard the block stacks (parallel/pp.py), model meshes apply
-        the Megatron TP rules (parallel/tp.py), plain data meshes
-        replicate."""
+        the Megatron TP rules (parallel/tp.py), ``Config.fsdp="full"``
+        data-shards the stored weights (parallel/fsdp.py), plain data
+        meshes (and ZeRO-1) replicate."""
         if "pipe" in self.mesh.axis_names and self.mesh.shape["pipe"] > 1:
             from sod_tpu.parallel import shard_params_pp
 
             return shard_params_pp(params, self.mesh, self.mcfg.vit.depth)
+        fsdp = getattr(self.cfg, "fsdp", "none")
+        if fsdp != "none":
+            from sod_tpu.parallel.fsdp import (assert_fsdp_compatible,
+                                               shard_params_fsdp)
+
+            assert_fsdp_compatible(self.cfg, self.mesh)
+            if fsdp == "full":
+                return shard_params_fsdp(params, self.mesh)
+            # zero1: params stay replicated — fall through
         from sod_tpu.parallel import assert_tp_compatible, shard_params
 
         assert_tp_compatible(self.cfg, self.mesh)
         return shard_params(params, self.mesh)
+
+    def _zero1_layout(self):
+        """ZeRO-1's optimizer-moment layout override: moments shard over
+        ``data`` while the params they mirror stay replicated (None for
+        every other configuration — moments then mirror the params'
+        own shardings)."""
+        if (self.mesh is None
+                or getattr(self.cfg, "fsdp", "none") != "zero1"):
+            return None
+        from sod_tpu.parallel.fsdp import fsdp_param_shardings
+
+        return fsdp_param_shardings(self.params, self.mesh)
+
+    def _step_out_shardings(self):
+        """jit out_shardings pinning the train step's updated
+        ``(params, opt_state, metrics)`` onto the FSDP layout — without
+        the pin GSPMD's layout solver may return replicated moments and
+        silently un-do the sharding's memory saving.  None (compiler's
+        choice, the pre-FSDP behaviour) unless ``Config.fsdp`` is on."""
+        if self.mesh is None or getattr(self.cfg, "fsdp", "none") == "none":
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sod_tpu.parallel import opt_state_shardings
+
+        param_sh = jax.tree.map(lambda l: l.sharding, self.params)
+        opt_sh = opt_state_shardings(self.tx, self.params,
+                                     param_shardings=self._zero1_layout())
+        return (param_sh, opt_sh, NamedSharding(self.mesh, P()))
 
     # ------------------------------------------------------------------
     def resume(self, path: Optional[str] = None) -> int:
@@ -223,8 +274,9 @@ class Trainer:
             from sod_tpu.parallel import shard_opt_state
 
             self.params = self._shard_model_params(self.params)
-            self.opt_state = shard_opt_state(self.tx, self.params,
-                                             opt_state=self.opt_state)
+            self.opt_state = shard_opt_state(
+                self.tx, self.params, opt_state=self.opt_state,
+                param_shardings=self._zero1_layout())
         return int(state.get("epoch", 0)) + 1
 
     # ------------------------------------------------------------------
