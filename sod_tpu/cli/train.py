@@ -44,9 +44,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["zero1", "full"],
                    help="ZeRO/FSDP state sharding over the data axis "
                         "(parallel/fsdp.py): zero1 shards the fp32 AdamW "
-                        "moments (any compute path), full stores the "
-                        "weights sharded too (XLA path); needs "
-                        "--n_devices > 1; exclusive with --tp/--pp/--sp")
+                        "moments (any compute path; composes with "
+                        "--tp/--pp/--sp — moments add 'data' on top of "
+                        "the params' own layout), full stores the "
+                        "weights sharded too (XLA path, plain data mesh "
+                        "only); needs --n_devices > 1")
     p.add_argument("--resume", action="store_true",
                    help="resume from this experiment's latest_model "
                         "checkpoint (capability the reference lacks)")

@@ -113,10 +113,12 @@ class Config:
                                       # data axis (parallel/fsdp.py):
                                       # "zero1" shards the fp32 AdamW
                                       # moments (works with every compute
-                                      # path incl. fused-train), "full"
-                                      # stores the weights sharded too
-                                      # (XLA path only); needs a data mesh
-                                      # axis > 1, exclusive with TP/PP/SP
+                                      # path incl. fused-train; composes
+                                      # with TP/PP/SP — moments add "data"
+                                      # on top of the params' own layout),
+                                      # "full" stores the weights sharded
+                                      # too (XLA path, plain data mesh
+                                      # only); needs a data mesh axis > 1
     pp_microbatches: int = 0          # GPipe micro-batches per step (0 =
                                       # one per stage; bubble fraction is
                                       # (S-1)/(M+S-1) — raise M to amortise)

@@ -9,6 +9,7 @@ from sod_tpu.parallel.fsdp import (  # noqa: F401
     fsdp_param_shardings,
     fsdp_specs,
     shard_params_fsdp,
+    zero1_moment_shardings,
 )
 from sod_tpu.parallel.pp import (  # noqa: F401
     assert_pp_compatible,

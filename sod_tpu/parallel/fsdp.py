@@ -41,11 +41,15 @@ The train step's *output* layouts are pinned via ``jit``'s
 GSPMD's layout solver is free to return replicated moments and silently
 un-do the memory saving.
 
-Composability: mutually exclusive with TP/PP/SP in this build — TP/PP
-already shard the weights on their own axes (a Megatron-style 2-D
-``data x model`` mesh with FSDP on ``data`` composes naturally but has
-no workload here to justify it; same rationale as the missing 3-D mesh,
-``docs/PARALLEL.md``).
+Composability: ``zero1`` composes with every mesh shape — on a 2-D
+``(data, model)`` / ``(data, pipe)`` / ``(data, seq)`` mesh the moments
+keep the sharding of the param they mirror (Megatron TP rules, GPipe
+layer sharding, replicated under SP) and ADD ``data`` on the largest
+still-unsharded divisible axis (:func:`zero1_moment_shardings`) — the
+standard Megatron+ZeRO-1 production recipe.  ``full`` remains exclusive
+with TP/PP/SP: those already shard the stored weights on their own axes,
+and double-sharding the storage buys nothing at this model scale
+(``docs/PARALLEL.md``).
 """
 from __future__ import annotations
 
@@ -64,27 +68,52 @@ def _data_axis_size(mesh: Mesh) -> int:
     return mesh.shape.get("data", 1) if "data" in mesh.axis_names else 1
 
 
+def _add_data_axis(base: P, shape, n: int, min_size: int) -> P:
+    """``base`` with ``"data"`` added on the largest still-unsharded
+    ``n``-divisible axis (``base`` unchanged if the leaf is too small or
+    no axis qualifies)."""
+    size = 1
+    for s in shape:
+        size *= s
+    if n <= 1 or not shape or size < min_size:
+        return base
+    ent = tuple(base) + (None,) * (len(shape) - len(tuple(base)))
+    for d in sorted(range(len(shape)), key=lambda i: shape[i],
+                    reverse=True):
+        if ent[d] is None and shape[d] % n == 0:
+            return P(*[("data" if i == d else e)
+                       for i, e in enumerate(ent)])
+    return base
+
+
 def fsdp_specs(params, mesh: Mesh, min_size: int = MIN_SHARD_SIZE):
     """PartitionSpec pytree sharding each large-enough leaf's largest
     ``data``-divisible axis (identity — all ``P()`` — on a 1-device data
     axis)."""
     n = _data_axis_size(mesh)
+    return jax.tree.map(
+        lambda leaf: _add_data_axis(P(), getattr(leaf, "shape", ()), n,
+                                    min_size),
+        params)
 
-    def spec(leaf):
-        shape = getattr(leaf, "shape", ())
-        size = 1
-        for s in shape:
-            size *= s
-        if n <= 1 or not shape or size < min_size:
-            return P()
-        for d in sorted(range(len(shape)), key=lambda i: shape[i],
-                        reverse=True):
-            if shape[d] % n == 0:
-                return P(*[("data" if i == d else None)
-                           for i in range(len(shape))])
-        return P()
 
-    return jax.tree.map(spec, params)
+def zero1_moment_shardings(params_sharded, mesh: Mesh,
+                           min_size: int = MIN_SHARD_SIZE):
+    """The ZeRO-1 moment layout: each param's OWN sharding (TP/PP layouts
+    pass through; replicated under plain DP and SP) with ``data`` added on
+    the largest still-unsharded divisible axis.  This is what the fp32
+    AdamW moments shard to while the params they mirror keep their
+    compute layout — composes with every mesh shape."""
+    n = _data_axis_size(mesh)
+
+    def sh(leaf):
+        base = getattr(leaf, "sharding", None)
+        spec = base.spec if isinstance(base, NamedSharding) else P()
+        return NamedSharding(
+            mesh, _add_data_axis(spec, getattr(leaf, "shape", ()), n,
+                                 min_size))
+
+    return jax.tree.map(sh, params_sharded)
 
 
 def fsdp_param_shardings(params, mesh: Mesh, min_size: int = MIN_SHARD_SIZE):
@@ -115,11 +144,15 @@ def assert_fsdp_compatible(cfg, mesh: Mesh) -> None:
             "(Config.mesh_data_axis / --n_devices)")
     other = [a for a in ("model", "pipe", "seq")
              if a in mesh.axis_names and mesh.shape[a] > 1]
-    if other:
+    if level == "full" and other:
+        # zero1 composes (moments add "data" on top of the params' own
+        # TP/PP layout, zero1_moment_shardings); full does not — TP/PP
+        # already store the weights sharded on their own axes
         raise ValueError(
-            f"fsdp={level!r} is mutually exclusive with the {other} mesh "
-            "axes in this build — TP/PP shard the weights on their own "
-            "axes (see parallel/fsdp.py docstring)")
+            f"fsdp='full' is mutually exclusive with the {other} mesh "
+            "axes — TP/PP shard the stored weights on their own axes; "
+            "use fsdp='zero1' to shard the moments on top (see "
+            "parallel/fsdp.py docstring)")
     if level == "full":
         bad = [f for f in ("use_pallas_attention", "use_fused_train",
                            "use_fused_mlp", "use_fused_eval")

@@ -179,12 +179,14 @@ def opt_state_shardings(tx, params_sharded, param_shardings=None):
     if param_shardings is None:
         sh_leaves = [leaf.sharding for _, leaf in p_leaves]
     else:
+        # tree.map pairs by STRUCTURE, so an override built from a
+        # different params tree fails loudly instead of positionally
+        # mispairing (which by_shape below would silently degrade to
+        # replicated — exactly the failure the pin exists to prevent)
+        paired = jax.tree.map(lambda _, s: s, params_sharded,
+                              param_shardings)
         sh_leaves = jax.tree.leaves(
-            param_shardings, is_leaf=lambda x: isinstance(x, NamedSharding))
-        if len(sh_leaves) != len(p_leaves):
-            raise ValueError(
-                f"param_shardings has {len(sh_leaves)} leaves, params have "
-                f"{len(p_leaves)}")
+            paired, is_leaf=lambda x: isinstance(x, NamedSharding))
     by_path = {tuple(_path_str(e) for e in path): sh
                for (path, _), sh in zip(p_leaves, sh_leaves)}
     by_shape = {}
@@ -215,14 +217,16 @@ def opt_state_shardings(tx, params_sharded, param_shardings=None):
 
 
 def shard_opt_state(tx, params_sharded, opt_state=None,
-                    param_shardings=None):
+                    param_shardings=None, shardings=None):
     """Optimizer state laid out like the params (moments carry the
     mirrored param's sharding, scalars replicate — see
     :func:`opt_state_shardings`; ``param_shardings`` overrides the
-    mirrored layout, the ZeRO-1 hook).  With ``opt_state`` given (a
-    restored checkpoint), its leaves are device_put onto that layout
-    instead of re-initialising."""
-    shardings = opt_state_shardings(tx, params_sharded, param_shardings)
+    mirrored layout, the ZeRO-1 hook; ``shardings`` supplies the full
+    precomputed opt-state layout, skipping the recomputation).  With
+    ``opt_state`` given (a restored checkpoint), its leaves are
+    device_put onto that layout instead of re-initialising."""
+    if shardings is None:
+        shardings = opt_state_shardings(tx, params_sharded, param_shardings)
     if opt_state is None:
         return jax.jit(tx.init, out_shardings=shardings)(params_sharded)
     return jax.tree.map(

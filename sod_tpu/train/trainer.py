@@ -127,16 +127,20 @@ class Trainer:
             # layer-shard the block stacks per parallel/pp.py, FSDP
             # data-shards the stored state per parallel/fsdp.py, and the
             # optimizer moments are laid out to match (opt_state_shardings;
-            # under ZeRO-1 they shard while the params they mirror stay
-            # replicated — _zero1_layout); 1-D data meshes replicate
+            # under ZeRO-1 they ADD "data" on top of the sharding of the
+            # param they mirror — zero1_moment_shardings, which composes
+            # with TP/PP/SP meshes); 1-D data meshes replicate
             # everything, exactly as before.  The moments are initialised
             # directly INTO that layout — a plain tx.init first would
-            # materialise them unsharded.
+            # materialise them unsharded.  The layout is computed once
+            # and reused by the step's out_shardings pin and resume().
             self.params = self._shard_model_params(self.params)
-            from sod_tpu.parallel import shard_opt_state
+            from sod_tpu.parallel import opt_state_shardings, shard_opt_state
 
-            self.opt_state = shard_opt_state(
+            self._opt_shardings = opt_state_shardings(
                 self.tx, self.params, param_shardings=self._zero1_layout())
+            self.opt_state = shard_opt_state(
+                self.tx, self.params, shardings=self._opt_shardings)
         else:
             if getattr(cfg, "fsdp", "none") != "none":
                 from sod_tpu.parallel import assert_fsdp_compatible
@@ -144,6 +148,7 @@ class Trainer:
                 # no mesh -> nothing to shard over; fail loudly instead
                 # of silently training unsharded
                 assert_fsdp_compatible(cfg, None)
+            self._opt_shardings = None
             self.opt_state = self.tx.init(self.params)
 
         self.train_step = make_train_step(
@@ -166,35 +171,41 @@ class Trainer:
         the Megatron TP rules (parallel/tp.py), ``Config.fsdp="full"``
         data-shards the stored weights (parallel/fsdp.py), plain data
         meshes (and ZeRO-1) replicate."""
+        fsdp = getattr(self.cfg, "fsdp", "none")
+        if fsdp != "none":
+            # validated for EVERY mesh shape before any branch returns —
+            # fsdp="full" on a pipe mesh must raise, not silently train
+            # with the weights only layer-sharded
+            from sod_tpu.parallel import assert_fsdp_compatible
+
+            assert_fsdp_compatible(self.cfg, self.mesh)
         if "pipe" in self.mesh.axis_names and self.mesh.shape["pipe"] > 1:
             from sod_tpu.parallel import shard_params_pp
 
             return shard_params_pp(params, self.mesh, self.mcfg.vit.depth)
-        fsdp = getattr(self.cfg, "fsdp", "none")
-        if fsdp != "none":
-            from sod_tpu.parallel.fsdp import (assert_fsdp_compatible,
-                                               shard_params_fsdp)
+        if fsdp == "full":
+            from sod_tpu.parallel import shard_params_fsdp
 
-            assert_fsdp_compatible(self.cfg, self.mesh)
-            if fsdp == "full":
-                return shard_params_fsdp(params, self.mesh)
-            # zero1: params stay replicated — fall through
+            return shard_params_fsdp(params, self.mesh)
+        # zero1 leaves the stored params on their compute layout (the
+        # moments shard instead — _zero1_layout); fall through
         from sod_tpu.parallel import assert_tp_compatible, shard_params
 
         assert_tp_compatible(self.cfg, self.mesh)
         return shard_params(params, self.mesh)
 
     def _zero1_layout(self):
-        """ZeRO-1's optimizer-moment layout override: moments shard over
-        ``data`` while the params they mirror stay replicated (None for
-        every other configuration — moments then mirror the params'
-        own shardings)."""
+        """ZeRO-1's optimizer-moment layout override: each moment keeps
+        the sharding of the param it mirrors (TP/PP layouts pass through)
+        with ``data`` added on the largest still-unsharded divisible axis
+        (None for every other configuration — moments then mirror the
+        params' own shardings).  Call AFTER ``_shard_model_params``."""
         if (self.mesh is None
                 or getattr(self.cfg, "fsdp", "none") != "zero1"):
             return None
-        from sod_tpu.parallel.fsdp import fsdp_param_shardings
+        from sod_tpu.parallel import zero1_moment_shardings
 
-        return fsdp_param_shardings(self.params, self.mesh)
+        return zero1_moment_shardings(self.params, self.mesh)
 
     def _step_out_shardings(self):
         """jit out_shardings pinning the train step's updated
@@ -206,12 +217,8 @@ class Trainer:
             return None
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from sod_tpu.parallel import opt_state_shardings
-
         param_sh = jax.tree.map(lambda l: l.sharding, self.params)
-        opt_sh = opt_state_shardings(self.tx, self.params,
-                                     param_shardings=self._zero1_layout())
-        return (param_sh, opt_sh, NamedSharding(self.mesh, P()))
+        return (param_sh, self._opt_shardings, NamedSharding(self.mesh, P()))
 
     # ------------------------------------------------------------------
     def resume(self, path: Optional[str] = None) -> int:
@@ -276,7 +283,7 @@ class Trainer:
             self.params = self._shard_model_params(self.params)
             self.opt_state = shard_opt_state(
                 self.tx, self.params, opt_state=self.opt_state,
-                param_shardings=self._zero1_layout())
+                shardings=self._opt_shardings)
         return int(state.get("epoch", 0)) + 1
 
     # ------------------------------------------------------------------
