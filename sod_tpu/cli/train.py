@@ -34,7 +34,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="pipeline-parallel stages (GPipe over the ViT block "
                         "stack, parallel/pp.py; encoder depth must divide "
                         "evenly; total devices = n_devices x pp; XLA path; "
-                        "mutually exclusive with --tp)")
+                        "combine with --tp for the 3-D (data, pipe, model) "
+                        "mesh — GPipe stages of Megatron TP groups, "
+                        "parallel/p3.py)")
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel ring size (ring attention over "
                         "the token axis, parallel/sp.py; total devices = "
@@ -91,9 +93,16 @@ def main(argv=None) -> None:
     tp = args.tp if args.tp > 1 else getattr(cfg, "mesh_model_axis", 1)
     pp = args.pp if args.pp > 1 else getattr(cfg, "mesh_pipe_axis", 1)
     sp = args.sp if args.sp > 1 else getattr(cfg, "mesh_seq_axis", 1)
-    if sum(ax > 1 for ax in (tp, pp, sp)) > 1:
-        raise SystemExit("--tp, --pp and --sp are mutually exclusive")
-    if tp > 1:
+    if sp > 1 and (tp > 1 or pp > 1):
+        raise SystemExit("--sp is mutually exclusive with --tp/--pp")
+    if tp > 1 and pp > 1:
+        # 3-D (data, pipe, model) mesh: GPipe stages of Megatron
+        # tensor-parallel groups (parallel/p3.py)
+        from sod_tpu.parallel import make_mesh_3d
+
+        n_dev = args.n_devices or len(jax.devices()) // (tp * pp)
+        mesh = make_mesh_3d(n_dev, pp, tp)
+    elif tp > 1:
         n_dev = args.n_devices or len(jax.devices()) // tp
         mesh = make_mesh_2d(n_dev, tp)
     elif pp > 1:

@@ -102,8 +102,10 @@ class Config:
     mesh_pipe_axis: int = 1           # pipeline-parallel stages (GPipe over
                                       # the ViT block stack, parallel/pp.py;
                                       # depth must divide evenly; XLA path;
-                                      # mutually exclusive with
-                                      # mesh_model_axis > 1)
+                                      # combined with mesh_model_axis > 1
+                                      # this builds the 3-D (data, pipe,
+                                      # model) mesh — GPipe stages of
+                                      # Megatron TP groups, parallel/p3.py)
     mesh_seq_axis: int = 1            # sequence-parallel ring size (ring
                                       # attention over the token axis,
                                       # parallel/sp.py; XLA path; mutually

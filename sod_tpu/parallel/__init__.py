@@ -11,6 +11,17 @@ from sod_tpu.parallel.fsdp import (  # noqa: F401
     shard_params_fsdp,
     zero1_moment_shardings,
 )
+from sod_tpu.parallel.p3 import (  # noqa: F401
+    assert_p3_compatible,
+    make_mesh_3d,
+    make_p3_apply,
+    p3_host_params,
+    p3_merge_blocks,
+    p3_param_shardings,
+    p3_split_blocks,
+    p3_vit_apply,
+    shard_params_p3,
+)
 from sod_tpu.parallel.pp import (  # noqa: F401
     assert_pp_compatible,
     make_mesh_pp,

@@ -130,10 +130,20 @@ def assert_pp_compatible(cfg, mesh: Mesh, n_micro: int) -> None:
 
 def _pipeline_blocks(blocks, norm, tokens: jax.Array, cfg: ViTConfig,
                      mesh: Mesh, n_micro: int,
-                     token_mask: Optional[jax.Array] = None) -> jax.Array:
+                     token_mask: Optional[jax.Array] = None,
+                     block_fn=None, block_specs=None) -> jax.Array:
     """Run the block stack as a GPipe pipeline over the mesh's ``pipe``
     axis.  Returns the final-LayerNormed per-layer token stack
     [L, B, 1+N, D] — exactly ``vit_apply(all_layers=True)``'s contract.
+
+    :param block_fn: per-block apply ``(bp, x, cfg, key_mask) -> x`` run
+        inside the stage program (default :func:`_block_apply`).  A 3-D
+        ``(data, pipe, model)`` mesh plugs in the tensor-parallel block
+        here (``parallel/p3.py``) — its ``psum`` over ``model`` composes
+        with this loop's ``ppermute`` over ``pipe`` because shard_map
+        makes every mesh axis manual.
+    :param block_specs: per-leaf PartitionSpecs for ``blocks`` (default
+        ``P("pipe")`` on every leaf — layer-sharded, feature-replicated).
     """
     S = _pipe_size(mesh)
     L = cfg.depth
@@ -156,7 +166,11 @@ def _pipeline_blocks(blocks, norm, tokens: jax.Array, cfg: ViTConfig,
     if token_mask is not None:
         mask_micro = token_mask.reshape((M, mb) + token_mask.shape[1:])
 
-    block_specs = jax.tree.map(lambda _: P("pipe"), blocks)
+    if block_fn is None:
+        block_fn = lambda bp, x_, cfg_, km: _block_apply(bp, x_, cfg_,
+                                                         key_mask=km)
+    if block_specs is None:
+        block_specs = jax.tree.map(lambda _: P("pipe"), blocks)
     norm_specs = jax.tree.map(lambda _: P(), norm)
     in_specs = (block_specs, norm_specs, P(None, dspec),
                 P(None, dspec) if mask_micro is not None else P())
@@ -168,7 +182,7 @@ def _pipeline_blocks(blocks, norm, tokens: jax.Array, cfg: ViTConfig,
 
         def run(x, km):
             def body(c, bp):
-                out = _block_apply(bp, c, cfg, key_mask=km)
+                out = block_fn(bp, c, cfg, km)
                 return out, layer_norm(norm_p, out, cfg.ln_eps)
 
             return jax.lax.scan(body, x, local_blocks)

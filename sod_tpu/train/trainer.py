@@ -80,6 +80,15 @@ class Trainer:
 
         if mesh is not None:
             self.mesh = mesh
+        elif (getattr(cfg, "mesh_model_axis", 1) > 1
+                and getattr(cfg, "mesh_pipe_axis", 1) > 1):
+            # both axes -> the 3-D (data, pipe, model) mesh: GPipe stages
+            # of Megatron tensor-parallel groups (parallel/p3.py)
+            from sod_tpu.parallel import make_mesh_3d
+
+            self.mesh = make_mesh_3d(
+                cfg.mesh_data_axis if cfg.mesh_data_axis > 1 else None,
+                cfg.mesh_pipe_axis, cfg.mesh_model_axis)
         elif getattr(cfg, "mesh_model_axis", 1) > 1:
             from sod_tpu.parallel import make_mesh_2d
 
@@ -106,6 +115,16 @@ class Trainer:
         # (parallel/pp.py) — the train step's forward is swapped wholesale
         apply_fn = None
         if (self.mesh is not None and "pipe" in self.mesh.axis_names
+                and self.mesh.shape["pipe"] > 1
+                and self.mesh.shape.get("model", 1) > 1):
+            # 3-D mesh: the encoder runs GPipe stages of tensor-parallel
+            # groups (parallel/p3.py)
+            from sod_tpu.parallel import assert_p3_compatible, make_p3_apply
+
+            assert_p3_compatible(cfg, self.mesh, self.mcfg.vit)
+            n_micro = getattr(cfg, "pp_microbatches", 0) or None
+            apply_fn = make_p3_apply(self.mesh, n_micro)
+        elif (self.mesh is not None and "pipe" in self.mesh.axis_names
                 and self.mesh.shape["pipe"] > 1):
             from sod_tpu.parallel import assert_pp_compatible, make_pp_apply
 
@@ -180,6 +199,13 @@ class Trainer:
 
             assert_fsdp_compatible(self.cfg, self.mesh)
         if "pipe" in self.mesh.axis_names and self.mesh.shape["pipe"] > 1:
+            if self.mesh.shape.get("model", 1) > 1:
+                # 3-D mesh: blocks go to the TP-split layout, sharded
+                # over pipe (layers) AND model (Megatron features)
+                from sod_tpu.parallel import shard_params_p3
+
+                return shard_params_p3(params, self.mesh,
+                                       self.mcfg.vit.depth)
             from sod_tpu.parallel import shard_params_pp
 
             return shard_params_pp(params, self.mesh, self.mcfg.vit.depth)
@@ -193,6 +219,24 @@ class Trainer:
 
         assert_tp_compatible(self.cfg, self.mesh)
         return shard_params(params, self.mesh)
+
+    def _export_params(self):
+        """``self.params`` in the STANDARD layout for consumers outside
+        this Trainer's mesh (the in-loop Evaluator, ``best_model_*``
+        checkpoints).  Under the 3-D mesh the stored blocks are TP-split
+        (packed qkv sliced per head group — parallel/p3.py); merge a host
+        copy back to the packed layout so those artifacts stay usable
+        from every other configuration.  ``latest_model`` deliberately
+        stores the split layout verbatim — resume with the same 3-D
+        config is then bit-exact, and a different config fails loudly on
+        the optimizer-leaf guard instead of silently mis-restoring."""
+        if (self.mesh is not None
+                and self.mesh.shape.get("model", 1) > 1
+                and self.mesh.shape.get("pipe", 1) > 1):
+            from sod_tpu.parallel import p3_host_params
+
+            return p3_host_params(self.params)
+        return self.params
 
     def _zero1_layout(self):
         """ZeRO-1's optimizer-moment layout override: each moment keeps
@@ -353,9 +397,10 @@ class Trainer:
     # ------------------------------------------------------------------
     def _evaluate(self, num_epoch: int) -> Dict[str, float]:
         """Per-benchmark eval + best-IoU checkpointing (pyc 190-228)."""
+        eval_params = self._export_params()
         if self.evaluator is None:
             try:
-                self.evaluator = Evaluator(self.params, self.cfg, self.mcfg,
+                self.evaluator = Evaluator(eval_params, self.cfg, self.mcfg,
                                            debug=self.debug)
             except (AssertionError, FileNotFoundError) as e:
                 # Evaluator.__init__ asserts cfg.dir_dataset exists —
@@ -364,7 +409,7 @@ class Trainer:
                 # contract as the per-benchmark skip below)
                 self.logger.log({"eval_skipped": "all", "reason": str(e)})
                 return {}
-        self.evaluator.params = self.params
+        self.evaluator.params = eval_params
         all_metrics: Dict[str, float] = {}
         for name in self.benchmarks:
             try:
@@ -386,7 +431,7 @@ class Trainer:
                 self.best_scores[name] = score
                 save_checkpoint(
                     os.path.join(self.dir_ckpt, f"best_model_{name}"),
-                    self.params, epoch=num_epoch, n_iters=self.n_iters_done)
+                    eval_params, epoch=num_epoch, n_iters=self.n_iters_done)
         if all_metrics:
             self.logger.log(all_metrics, step=self.n_iters_done)
         if self.best_scores and jax.process_index() == 0:
