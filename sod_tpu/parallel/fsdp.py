@@ -154,12 +154,11 @@ def assert_fsdp_compatible(cfg, mesh: Mesh) -> None:
             "use fsdp='zero1' to shard the moments on top (see "
             "parallel/fsdp.py docstring)")
     if level == "full":
-        bad = [f for f in ("use_pallas_attention", "use_fused_train",
-                           "use_fused_mlp", "use_fused_eval")
-               if getattr(cfg, f, False)]
-        if bad:
-            raise ValueError(
-                "fsdp='full' stores the weights sharded, which requires "
-                f"the XLA compute path: disable {bad} — Pallas kernels "
-                "are single-shard programs (zero1 composes with them; "
-                "see parallel/fsdp.py)")
+        from sod_tpu.parallel.mesh import assert_xla_path
+
+        assert_xla_path(
+            cfg,
+            "fsdp='full' stores the weights sharded, which requires "
+            "the XLA compute path",
+            "Pallas kernels are single-shard programs (zero1 composes "
+            "with them; see parallel/fsdp.py)")

@@ -17,6 +17,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# every flag that routes compute through a single-shard Pallas kernel —
+# ONE list so a future fused flag is added in one place and every mesh
+# guard (tp/pp/sp/p3/fsdp-full) picks it up together
+PALLAS_FLAGS = ("use_pallas_attention", "use_fused_train",
+                "use_fused_mlp", "use_fused_eval")
+
+
+def assert_xla_path(cfg, requires: str, why: str) -> None:
+    """Raise when any Pallas/fused flag is set.  Shared by every mesh
+    path whose program cannot contain single-shard Pallas kernels
+    (``assert_tp/pp/sp/p3/fsdp_compatible``)."""
+    bad = [f for f in PALLAS_FLAGS if getattr(cfg, f, False)]
+    if bad:
+        raise ValueError(f"{requires}: disable {bad} — {why}")
+
+
 def make_mesh(n_data: Optional[int] = None, devices=None) -> Mesh:
     """A 1-D data-parallel mesh over ``n_data`` devices (default: all)."""
     if devices is None:

@@ -99,13 +99,15 @@ def p3_split_blocks(blocks: dict) -> dict:
 
 def p3_merge_blocks(blocks: dict) -> dict:
     """TP-split block stack -> standard packed layout (inverse of
-    :func:`p3_split_blocks`)."""
+    :func:`p3_split_blocks`).  Host (numpy) inputs stay on host — the
+    ``p3_host_params`` boundary must not re-upload the biggest weight
+    stacks through this box's ~MB/s tunnel just to concatenate them."""
     attn = blocks["attn"]
-    qkv = {"w": jnp.concatenate(
-        [attn[n]["w"] for n in ("q", "k", "v")], axis=-1)}
+    cat = (np.concatenate if isinstance(attn["q"]["w"], np.ndarray)
+           else jnp.concatenate)
+    qkv = {"w": cat([attn[n]["w"] for n in ("q", "k", "v")], axis=-1)}
     if "b" in attn["q"]:
-        qkv["b"] = jnp.concatenate(
-            [attn[n]["b"] for n in ("q", "k", "v")], axis=-1)
+        qkv["b"] = cat([attn[n]["b"] for n in ("q", "k", "v")], axis=-1)
     return {**blocks, "attn": {"qkv": qkv, "proj": attn["proj"]}}
 
 
@@ -118,28 +120,40 @@ def p3_block_specs(split_blocks: dict) -> dict:
     mesh: every leaf layer-shards over ``pipe``; the Megatron rules place
     ``model`` — column-parallel q/k/v and mlp.fc0 shard output features
     (+ bias), row-parallel proj and mlp.fc1 shard input features (bias
-    replicated, added once after the psum); norms replicate."""
-    specs = {
-        "attn": {
-            "proj": {"w": P("pipe", "model", None), "b": P("pipe", None)},
-            **{n: {"w": P("pipe", None, "model"), "b": P("pipe", "model")}
-               for n in ("q", "k", "v")},
-        },
-        "mlp": {
-            "fc0": {"w": P("pipe", None, "model"), "b": P("pipe", "model")},
-            "fc1": {"w": P("pipe", "model", None), "b": P("pipe", None)},
-        },
-        "norm1": {"scale": P("pipe", None), "bias": P("pipe", None)},
-        "norm2": {"scale": P("pipe", None), "bias": P("pipe", None)},
+    replicated, added once after the psum); norms replicate.  Built by
+    walking the ACTUAL tree (path-keyed rules), so bias-free configs
+    (``qkv_bias=False``) just lack those entries."""
+    from jax.tree_util import tree_flatten_with_path, tree_unflatten
+
+    col_w, row_w = P("pipe", None, "model"), P("pipe", "model", None)
+    rules = {
+        ("attn", "q", "w"): col_w, ("attn", "k", "w"): col_w,
+        ("attn", "v", "w"): col_w, ("attn", "proj", "w"): row_w,
+        ("mlp", "fc0", "w"): col_w, ("mlp", "fc1", "w"): row_w,
+        ("attn", "q", "b"): P("pipe", "model"),
+        ("attn", "k", "b"): P("pipe", "model"),
+        ("attn", "v", "b"): P("pipe", "model"),
+        ("mlp", "fc0", "b"): P("pipe", "model"),
     }
-    # tolerate bias-free leaves by intersecting with the actual tree
-    return jax.tree.map(lambda _, s: s, split_blocks, specs)
+    leaves, treedef = tree_flatten_with_path(split_blocks)
+    out = []
+    for path, leaf in leaves:
+        key = tuple(getattr(e, "key", None) for e in path)
+        spec = rules.get(key)
+        if spec is None:
+            # proj/fc1 bias, norm scale/bias: pipe on the layer axis only
+            spec = P(*(("pipe",) + (None,) * (getattr(leaf, "ndim", 1) - 1)))
+        out.append(spec)
+    return tree_unflatten(treedef, out)
 
 
 def p3_param_shardings(params: dict, mesh: Mesh, depth: int):
     """NamedSharding pytree for the FULL model with the encoder blocks in
     TP-split layout: blocks shard per :func:`p3_block_specs`, everything
     else replicates (decoder/heads run under plain GSPMD, as in pp)."""
+    S = _pipe_size(mesh)
+    if S > 1 and depth % S != 0:
+        raise ValueError(f"depth {depth} not divisible by pipe axis {S}")
     def to_named(tree):
         return jax.tree.map(lambda s: NamedSharding(mesh, s), tree,
                             is_leaf=lambda x: isinstance(x, P))
@@ -182,14 +196,12 @@ def assert_p3_compatible(cfg, mesh: Mesh, vit_cfg: ViTConfig) -> None:
     n_model = _model_size(mesh)
     if n_model <= 1 or _pipe_size(mesh) <= 1:
         return
-    bad = [f for f in ("use_pallas_attention", "use_fused_train",
-                       "use_fused_mlp", "use_fused_eval")
-           if getattr(cfg, f, False)]
-    if bad:
-        raise ValueError(
-            f"the (data, pipe, model) mesh requires the XLA path: disable "
-            f"{bad} — the stage program is explicit shard_map "
-            "(see parallel/p3.py docstring)")
+    from sod_tpu.parallel.mesh import assert_xla_path
+
+    assert_xla_path(
+        cfg, "the (data, pipe, model) mesh requires the XLA path",
+        "the stage program is explicit shard_map "
+        "(see parallel/p3.py docstring)")
     if vit_cfg.depth % _pipe_size(mesh) != 0:
         raise ValueError(f"depth {vit_cfg.depth} not divisible by pipe "
                          f"axis {_pipe_size(mesh)}")

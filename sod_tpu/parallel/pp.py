@@ -116,14 +116,14 @@ def assert_pp_compatible(cfg, mesh: Mesh, n_micro: int) -> None:
     """Fail loudly on configs the pipelined path does not cover."""
     if _pipe_size(mesh) <= 1:
         return
-    bad = [f for f in ("use_pallas_attention", "use_fused_train",
-                       "use_fused_mlp", "use_fused_eval")
-           if getattr(cfg, f, False)]
-    if bad:
-        raise ValueError(
-            f"pipeline parallelism (pipe axis {_pipe_size(mesh)}) requires "
-            f"the XLA path: disable {bad} — the pipelined stage program is "
-            "validated on XLA ops only (see parallel/pp.py docstring)")
+    from sod_tpu.parallel.mesh import assert_xla_path
+
+    assert_xla_path(
+        cfg,
+        f"pipeline parallelism (pipe axis {_pipe_size(mesh)}) requires "
+        "the XLA path",
+        "the pipelined stage program is validated on XLA ops only "
+        "(see parallel/pp.py docstring)")
     if n_micro < 1:
         raise ValueError(f"n_micro must be >= 1, got {n_micro}")
 

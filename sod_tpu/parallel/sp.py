@@ -87,14 +87,14 @@ def assert_sp_compatible(cfg, mesh: Mesh) -> None:
     """Fail loudly on configs the ring-attention path does not cover."""
     if _seq_size(mesh) <= 1:
         return
-    bad = [f for f in ("use_pallas_attention", "use_fused_train",
-                       "use_fused_mlp", "use_fused_eval")
-           if getattr(cfg, f, False)]
-    if bad:
-        raise ValueError(
-            f"sequence parallelism (seq axis {_seq_size(mesh)}) requires "
-            f"the XLA path: disable {bad} — the ring stage program is "
-            "validated on XLA ops only (see parallel/sp.py docstring)")
+    from sod_tpu.parallel.mesh import assert_xla_path
+
+    assert_xla_path(
+        cfg,
+        f"sequence parallelism (seq axis {_seq_size(mesh)}) requires "
+        "the XLA path",
+        "the ring stage program is validated on XLA ops only "
+        "(see parallel/sp.py docstring)")
 
 
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,

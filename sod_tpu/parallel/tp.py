@@ -238,12 +238,11 @@ def assert_tp_compatible(cfg, mesh: Mesh) -> None:
     """Fail loudly when a >1 model axis meets a single-shard Pallas path."""
     if _model_axis_size(mesh) <= 1:
         return
-    bad = [f for f in ("use_pallas_attention", "use_fused_train",
-                       "use_fused_mlp", "use_fused_eval")
-           if getattr(cfg, f, False)]
-    if bad:
-        raise ValueError(
-            f"tensor parallelism (model axis {_model_axis_size(mesh)}) "
-            f"requires the XLA path: disable {bad} — Pallas kernels are "
-            "single-shard programs (wrapping them in shard_map is future "
-            "work, see docs/PERFORMANCE.md)")
+    from sod_tpu.parallel.mesh import assert_xla_path
+
+    assert_xla_path(
+        cfg,
+        f"tensor parallelism (model axis {_model_axis_size(mesh)}) "
+        "requires the XLA path",
+        "Pallas kernels are single-shard programs (wrapping them in "
+        "shard_map is future work, see docs/PERFORMANCE.md)")

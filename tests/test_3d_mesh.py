@@ -161,6 +161,22 @@ def test_p3_vit_forward_with_token_mask(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_p3_bias_free_qkv_forward_matches(rng):
+    """qkv_bias=False configs (split layout has no 'b' leaves) shard and
+    run — regression: a fixed spec template used to structure-mismatch."""
+    cfg = _vit_cfg(qkv_bias=False)
+    params = vit_init(jax.random.key(0), cfg)
+    assert "b" not in p3_split_blocks(params["blocks"])["attn"]["q"]
+    x = jnp.asarray(rng.rand(4, 32, 32, 3), jnp.float32)
+    ref = vit_apply(params, x, cfg, all_layers=True)
+    mesh = make_mesh_3d(1, 2, 2)
+    p = shard_params_p3({"encoder": params}, mesh, cfg.depth)["encoder"]
+    out = jax.jit(lambda p_, x_: p3_vit_apply(
+        p_, x_, cfg, mesh, all_layers=True))(p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_p3_gradients_match_single_device(rng):
     """Gradients flow through psum (model) AND ppermute (pipe); merged
     back to the packed layout they equal the dense gradients."""
