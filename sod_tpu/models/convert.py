@@ -147,6 +147,121 @@ def convert_maskformer(sd: Mapping[str, Array], n_decoder_layers: int = 6,
 
 
 # ---------------------------------------------------------------------------
+# JAX -> PyTorch export (the exact inverse of convert_maskformer)
+# ---------------------------------------------------------------------------
+# The reference consumes ``checkpoint['model']`` state dicts
+# (``app.py:185-187``; ``evaluator.py --p_state_dict``,  README.md:105-108).
+# Exporting OUR trained params into that layout closes the interop loop:
+# train on TPU here, keep serving/evaluating from the torch stack there.
+# The reference itself has no export/import story beyond torch.save.
+
+def _unstack(stacked: dict):
+    """[L, ...]-stacked block tree -> list of per-layer trees."""
+    import jax
+
+    leaves = jax.tree.leaves(stacked)
+    depth = int(np.asarray(leaves[0]).shape[0])
+    return [jax.tree.map(lambda x: np.asarray(x)[i], stacked)
+            for i in range(depth)], depth
+
+
+def _ex_ln(out: dict, prefix: str, p: dict) -> None:
+    out[f"{prefix}.weight"] = np.asarray(p["scale"])
+    out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _ex_linear(out: dict, prefix: str, p: dict) -> None:
+    out[f"{prefix}.weight"] = _t(np.asarray(p["w"]))
+    if "b" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["b"])
+
+
+def _ex_mha(out: dict, prefix: str, p: dict) -> None:
+    out[f"{prefix}.in_proj_weight"] = _t(np.asarray(p["in_proj"]["w"]))
+    if "b" in p["in_proj"]:
+        out[f"{prefix}.in_proj_bias"] = np.asarray(p["in_proj"]["b"])
+    _ex_linear(out, f"{prefix}.out_proj", p["out_proj"])
+
+
+def export_vit(params: dict, prefix: str = "") -> Dict[str, Array]:
+    """JAX ViT params -> torch state-dict arrays (DINO deit naming) —
+    inverse of :func:`convert_vit`, asserted round-trip-exact in
+    ``tests/test_convert.py``."""
+    out: Dict[str, Array] = {}
+    pw = np.asarray(params["patch_embed"]["w"])      # (p*p*c, D)
+    d = pw.shape[1]
+    p = int(round((pw.shape[0] // 3) ** 0.5))
+    out[prefix + "patch_embed.proj.weight"] = np.ascontiguousarray(
+        pw.reshape(p, p, 3, d).transpose(3, 2, 0, 1))
+    out[prefix + "patch_embed.proj.bias"] = np.asarray(
+        params["patch_embed"]["b"])
+    out[prefix + "cls_token"] = np.asarray(params["cls_token"])
+    out[prefix + "pos_embed"] = np.asarray(params["pos_embed"])
+
+    blocks = params["blocks"]
+    if "q" in blocks.get("attn", {}):   # p3 TP-split storage (parallel/p3.py)
+        from sod_tpu.parallel.p3 import p3_merge_blocks
+
+        blocks = p3_merge_blocks(blocks)
+    per_layer, _ = _unstack(blocks)
+    for i, bp in enumerate(per_layer):
+        b = prefix + f"blocks.{i}."
+        _ex_ln(out, b + "norm1", bp["norm1"])
+        _ex_linear(out, b + "attn.qkv", bp["attn"]["qkv"])
+        _ex_linear(out, b + "attn.proj", bp["attn"]["proj"])
+        _ex_ln(out, b + "norm2", bp["norm2"])
+        _ex_linear(out, b + "mlp.fc1", bp["mlp"]["fc0"])
+        _ex_linear(out, b + "mlp.fc2", bp["mlp"]["fc1"])
+    _ex_ln(out, prefix + "norm", params["norm"])
+    return out
+
+
+def export_maskformer(params: dict) -> Dict[str, Array]:
+    """JAX MaskFormer params -> the reference's selfmask state-dict
+    layout — inverse of :func:`convert_maskformer`.  The model shape
+    (decoder depth, ffn width, binary-classifier heads) is read off the
+    param tree itself; no config needed."""
+    out = export_vit(params["encoder"], prefix="encoder.")
+    layers, _ = _unstack(params["decoder"]["layers"])
+    for i, lp in enumerate(layers):
+        d = f"decoder.layers.{i}"
+        _ex_mha(out, f"{d}.self_attn", lp["self_attn"])
+        _ex_mha(out, f"{d}.multihead_attn", lp["cross_attn"])
+        _ex_linear(out, f"{d}.linear1", lp["linear1"])
+        _ex_linear(out, f"{d}.linear2", lp["linear2"])
+        _ex_ln(out, f"{d}.norm1", lp["norm1"])
+        _ex_ln(out, f"{d}.norm2", lp["norm2"])
+        _ex_ln(out, f"{d}.norm3", lp["norm3"])
+    _ex_ln(out, "decoder.norm", params["decoder"]["norm"])
+    out["query_embed"] = np.asarray(params["query_embed"])
+    for i in sorted(int(k[2:]) for k in params["ffn"]):
+        _ex_linear(out, f"ffn.layers.{i}", params["ffn"][f"fc{i}"])
+    if "linear_classifier" in params:       # use_binary_classifier=False
+        _ex_linear(out, "linear_classifier", params["linear_classifier"])
+        _ex_ln(out, "norm", params["norm"])
+    return out
+
+
+def save_torch_checkpoint(path: str, params: dict, extra: dict = None) -> str:
+    """Write ``{'model': state_dict}`` exactly as the reference's
+    consumers expect (``app.py:185-187`` pops ``['model']``;
+    ``torch.load`` + ``load_state_dict`` on their side).  fp32 tensors —
+    bf16 compute params are upcast, matching torch's default dtype."""
+    import torch
+
+    # copy: np.asarray of a jax array is read-only and torch.from_numpy
+    # warns on (and forbids writing to) non-writable buffers
+    sd = {k: torch.from_numpy(
+              np.array(v, dtype=np.float32, copy=True))
+          for k, v in export_maskformer(params).items()}
+    obj = {"model": sd}
+    if extra:
+        obj.update(extra)
+    torch.save(obj, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
 # ResNet-50 (torchvision / MoCo-v2 / SwAV naming, ref networks/resnet.py)
 # ---------------------------------------------------------------------------
 

@@ -383,3 +383,127 @@ def test_resnet50_dilated_output_stride():
     assert out["res5"].shape[1] == 64 // 8      # stride 8, not 32
     out = resnet50_apply(params, x, dilate_scale=None)
     assert out["res5"].shape[1] == 64 // 32
+
+
+# ---------------------------------------------------------------------------
+# JAX -> torch export (the reverse interop direction; reference has neither)
+# ---------------------------------------------------------------------------
+
+def _make_small_mf_sd(rng, depth=2, dim=32, L=2, Q=5):
+    """Reference-layout state dict at test scale (same construction as
+    test_maskformer_conversion_parity)."""
+    sd = make_vit_state_dict(rng, depth, dim, 2, 8, 4, prefix="encoder.")
+    r = lambda *s: rng.randn(*s).astype(np.float32) * 0.05
+    for i in range(L):
+        lp = f"decoder.layers.{i}"
+        for attn in ("self_attn", "multihead_attn"):
+            sd[f"{lp}.{attn}.in_proj_weight"] = r(3 * dim, dim)
+            sd[f"{lp}.{attn}.in_proj_bias"] = r(3 * dim)
+            sd[f"{lp}.{attn}.out_proj.weight"] = r(dim, dim)
+            sd[f"{lp}.{attn}.out_proj.bias"] = r(dim)
+        sd[f"{lp}.linear1.weight"] = r(4 * dim, dim)
+        sd[f"{lp}.linear1.bias"] = r(4 * dim)
+        sd[f"{lp}.linear2.weight"] = r(dim, 4 * dim)
+        sd[f"{lp}.linear2.bias"] = r(dim)
+        for n in ("norm1", "norm2", "norm3"):
+            sd[f"{lp}.{n}.weight"] = 1 + r(dim)
+            sd[f"{lp}.{n}.bias"] = r(dim)
+    sd["decoder.norm.weight"] = 1 + r(dim)
+    sd["decoder.norm.bias"] = r(dim)
+    sd["query_embed"] = r(Q, dim)
+    for i, (din, dout) in enumerate(((dim, dim), (dim, dim), (dim, 1))):
+        sd[f"ffn.layers.{i}.weight"] = r(dout, din)
+        sd[f"ffn.layers.{i}.bias"] = r(dout)
+    return sd
+
+
+def test_export_inverts_convert(rng):
+    """export_maskformer(convert_maskformer(sd)) == sd bit-for-bit: same
+    key set, same shapes, same values — the converters are mutual
+    inverses on the reference's exact layout."""
+    from sod_tpu.models.convert import export_maskformer
+
+    sd = _make_small_mf_sd(rng)
+    params = convert_maskformer(sd, n_decoder_layers=2, depth=2)
+    out = export_maskformer(params)
+    assert set(out) == set(sd)
+    for k in sd:
+        assert out[k].shape == sd[k].shape, k
+        np.testing.assert_array_equal(out[k], sd[k], err_msg=k)
+
+
+def test_export_torch_checkpoint_roundtrip(rng, tmp_path):
+    """maskformer_init -> save_torch_checkpoint -> torch.load ->
+    convert_maskformer reproduces the original params exactly, and the
+    file carries the reference's {'model': ...} wrapping."""
+    from sod_tpu.models.convert import (
+        load_torch_state_dict,
+        save_torch_checkpoint,
+    )
+    from sod_tpu.models.maskformer import maskformer_init
+
+    mcfg = MaskFormerConfig(
+        n_queries=5, n_decoder_layers=2,
+        vit=ViTConfig(patch_size=8, embed_dim=32, depth=2, n_heads=2,
+                      pos_grid=4))
+    params = jax.device_get(maskformer_init(jax.random.key(0), mcfg))
+    fp = save_torch_checkpoint(str(tmp_path / "export.pt"), params)
+
+    obj = torch.load(fp, map_location="cpu", weights_only=False)
+    assert set(obj) == {"model"}                    # app.py:185-187 shape
+    assert all(isinstance(v, torch.Tensor) for v in obj["model"].values())
+
+    back = convert_maskformer(load_torch_state_dict(fp),
+                              n_decoder_layers=2, depth=2)
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert [k for k, _ in flat_a] == [k for k, _ in flat_b]
+    for (k, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(k))
+
+
+def test_export_p3_split_layout_merges(rng):
+    """A 3-D-mesh latest_model stores TP-split q/k/v (parallel/p3.py);
+    export merges back to the packed reference layout transparently."""
+    from sod_tpu.models.convert import export_maskformer
+    from sod_tpu.parallel import p3_split_blocks
+
+    sd = _make_small_mf_sd(rng)
+    params = convert_maskformer(sd, n_decoder_layers=2, depth=2)
+    ref = export_maskformer(params)
+    params["encoder"]["blocks"] = p3_split_blocks(
+        params["encoder"]["blocks"])
+    out = export_maskformer(params)
+    assert set(out) == set(ref)
+    for k in ref:
+        np.testing.assert_array_equal(out[k], ref[k], err_msg=k)
+
+
+def test_export_cli(rng, tmp_path):
+    """The export CLI reads an orbax checkpoint dir and writes a torch
+    file the import converter reproduces exactly."""
+    from sod_tpu.cli.export import main as export_main
+    from sod_tpu.models.convert import load_torch_state_dict
+    from sod_tpu.models.maskformer import maskformer_init
+    from sod_tpu.train.checkpoints import save_checkpoint
+
+    mcfg = MaskFormerConfig(
+        n_queries=5, n_decoder_layers=2,
+        vit=ViTConfig(patch_size=8, embed_dim=32, depth=2, n_heads=2,
+                      pos_grid=4))
+    params = jax.device_get(maskformer_init(jax.random.key(1), mcfg))
+    save_checkpoint(str(tmp_path / "ck"), params, epoch=3, n_iters=30)
+
+    out_fp = str(tmp_path / "exported.pt")
+    export_main(["--ckpt", str(tmp_path / "ck"), "--out", out_fp])
+    obj = torch.load(out_fp, map_location="cpu", weights_only=False)
+    assert obj["n_epochs"] == 3 and obj["n_iters"] == 30
+
+    back = convert_maskformer(load_torch_state_dict(out_fp),
+                              n_decoder_layers=2, depth=2)
+    for (k, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(back)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(k))
