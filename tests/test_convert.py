@@ -507,3 +507,28 @@ def test_export_cli(rng, tmp_path):
             jax.tree_util.tree_flatten_with_path(back)[0]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=str(k))
+
+
+def test_export_drives_torch_forward(rng):
+    """The exported state dict actually DRIVES the torch math: a ViT
+    initialised here, exported, and run through the functional torch
+    forward matches our vit_apply — parity proven in the export
+    direction, not just key/value round-tripping."""
+    from sod_tpu.models.convert import export_vit
+    from sod_tpu.models.vit import vit_init
+
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, n_heads=2,
+                    pos_grid=4)
+    params = jax.device_get(vit_init(jax.random.key(2), cfg))
+    x = rng.randn(2, 32, 32, 3).astype(np.float32)
+    ours = vit_apply(jax.tree.map(jnp.asarray, params), jnp.asarray(x),
+                     cfg, all_layers=False)
+
+    # writable copies: device_get leaves can be read-only and
+    # torch.from_numpy warns on non-writable buffers
+    sd = {k: np.array(v) for k, v in export_vit(params).items()}
+    with torch.no_grad():
+        theirs = torch_vit_forward(sd, torch.from_numpy(
+            x.transpose(0, 3, 1, 2)), cfg.depth, cfg.n_heads)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
+                               atol=1e-5, rtol=1e-4)
