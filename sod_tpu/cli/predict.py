@@ -62,6 +62,9 @@ def main(argv=None) -> None:
             # literal pattern string after earlier chunks already wrote
             raise SystemExit(f"--p_images pattern matched nothing: {pat}")
         paths.extend(hits)
+    # overlapping patterns must not predict (and write) an image twice —
+    # the second pass would emit a spurious "<stem>_1" duplicate file
+    paths = list(dict.fromkeys(paths))
     os.makedirs(args.out, exist_ok=True)
 
     import jax.numpy as jnp
@@ -107,11 +110,15 @@ def main(argv=None) -> None:
         for i, (p, img) in enumerate(zip(chunk, imgs)):
             stem = os.path.splitext(os.path.basename(p))[0]
             # same stem from different directories: suffix instead of
-            # silently overwriting the earlier mask
-            n = seen.get(stem)
-            seen[stem] = (n or 0) + 1
-            if n:
+            # silently overwriting the earlier mask.  The generated name
+            # is itself reserved in `seen`, so a later REAL "<stem>_1"
+            # input (or a second collision) can never clobber it.
+            if stem in seen:
+                n = 1
+                while f"{stem}_{n}" in seen:
+                    n += 1
                 stem = f"{stem}_{n}"
+            seen[stem] = True
             mask_img = Image.fromarray((masks[i] * 255).astype(np.uint8))
             mask_full = mask_img.resize(img.size, Image.LANCZOS)
             mask_full.convert("L").save(

@@ -80,6 +80,11 @@ class MaskGenerator:
         labels equal the single-device run).  The DUTS 10k pass is
         ~13 min on one chip; a data mesh divides it by the axis size."""
         assert cluster_type in ("spectral", "k-means")
+        if mesh is not None and batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by the mesh's "
+                f"data axis {mesh.shape['data']} — every shard needs "
+                "equal rows")
         self.mesh = mesh
         self.cluster_sizes = list(cluster_sizes)
         self.cluster_type = cluster_type
@@ -199,16 +204,12 @@ class MaskGenerator:
         params = {ft: self._get_params(ft) for ft in self.feature_types}
         fns = {ft: self._extract_cluster_fn(ft)
                for ft in self.feature_types}
-        n_data = 1
         if self.mesh is not None:
             from sod_tpu.parallel import batch_sharding, replicated
 
             rep = replicated(self.mesh)
             params = {ft: jax.device_put(p, rep) for ft, p in params.items()}
             bsh = batch_sharding(self.mesh)
-            n_data = (self.mesh.shape.get("data", self.mesh.devices.size)
-                      if "data" in self.mesh.axis_names
-                      else self.mesh.devices.size)
 
         def finalize(pending):
             samples, results = pending
@@ -229,10 +230,14 @@ class MaskGenerator:
         pending = None
         for samples in loader:
             arr = np.stack([s["image_u8"] for s in samples])
-            if len(arr) % n_data:
-                # wrap-pad a ragged final batch to the data-axis multiple
-                # (every shard needs equal rows); finalize trims the copies
-                pad = n_data - len(arr) % n_data
+            if len(arr) < self.batch_size:
+                # wrap-pad the ragged FINAL batch (drop_last=False) back
+                # to the full static batch: a new leading dim would force
+                # a fresh tunnel compile of every backbone program
+                # (30 s–minutes each) just for the tail; this also keeps
+                # the data-axis divisible under a mesh.  finalize trims
+                # the copies via [:len(samples)]
+                pad = self.batch_size - len(arr)
                 arr = np.concatenate([arr, arr[-1:].repeat(pad, axis=0)])
             x = jnp.asarray(arr)
             if self.mesh is not None:

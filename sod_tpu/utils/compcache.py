@@ -39,6 +39,11 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         # process even when a different JAX_COMPILATION_CACHE_DIR was
         # already exported
         os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
+        # ...and the min-compile-time knob with it: a subprocess that
+        # only inherits the dir would keep JAX's 1 s default and never
+        # persist exactly the small programs whose constant tunnel
+        # round trips this cache exists to remove
+        os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
         return cache_dir
     except Exception as e:  # pragma: no cover - depends on jax build
         import warnings

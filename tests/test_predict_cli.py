@@ -49,3 +49,37 @@ def test_predict_cli_argparser():
     a = build_argparser().parse_args(
         ["--p_images", "x.jpg", "--quantize", "int8", "--refine"])
     assert a.quantize == "int8" and a.refine and a.out == "predictions"
+
+
+def test_predict_cli_dedup_and_collision_safe_stems(tmp_path, rng):
+    """Overlapping patterns predict each image once, and the duplicate-
+    stem suffix can never clobber a REAL <stem>_1 input (regression:
+    the generated name was not reserved against later inputs)."""
+    import yaml as _yaml
+
+    for sub in ("a", "b"):
+        os.makedirs(tmp_path / sub, exist_ok=True)
+    rnd = lambda: (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    Image.fromarray(rnd()).save(tmp_path / "a" / "cat.jpg")
+    Image.fromarray(rnd()).save(tmp_path / "b" / "cat.jpg")
+    Image.fromarray(rnd()).save(tmp_path / "b" / "cat_1.jpg")
+
+    cfg = {"patch_size": 16, "eval_image_size": 32,
+           "compute_dtype": "float32", "use_pallas_attention": False,
+           "n_queries": 4, "n_decoder_layers": 2}
+    cfg_fp = tmp_path / "tiny.yaml"
+    cfg_fp.write_text(_yaml.safe_dump(cfg))
+
+    out = tmp_path / "preds"
+    # the duplicate literal path + overlapping glob must not double-run
+    main(["--p_images", str(tmp_path / "a" / "*.jpg"),
+          str(tmp_path / "a" / "cat.jpg"), str(tmp_path / "b" / "*.jpg"),
+          "--out", str(out), "--config", str(cfg_fp), "--batch_size", "2"])
+
+    names = sorted(os.listdir(out))
+    # three distinct inputs -> exactly three masks, none overwritten:
+    # a/cat -> cat, b/cat -> collision suffix, b/cat_1 -> its own name
+    assert len(names) == 3, names
+    assert "cat_mask.png" in names and "cat_1_mask.png" in names
+    assert any(n not in ("cat_mask.png", "cat_1_mask.png")
+               for n in names)
