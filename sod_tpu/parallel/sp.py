@@ -117,8 +117,7 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     acc = jnp.zeros((bsz, n_heads, c, hd), jnp.float32)
     perm = [(i, (i + 1) % n_ring) for i in range(n_ring)]
 
-    def tick(carry, _):
-        m, l, acc, kc, vc, mc = carry
+    def absorb(m, l, acc, kc, vc, mc):
         logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kc.astype(jnp.float32),
                             preferred_element_type=jnp.float32) * scale
         logits = jnp.where(mc[:, None, None, :], logits, -1e30)
@@ -129,22 +128,38 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         acc_new = acc * alpha[..., None] + jnp.einsum(
             "bhqk,bhkd->bhqd", p, vc.astype(jnp.float32),
             preferred_element_type=jnp.float32)
-        if n_ring > 1:
-            kc = jax.lax.ppermute(kc, axis, perm)
-            vc = jax.lax.ppermute(vc, axis, perm)
-            mc = jax.lax.ppermute(mc, axis, perm)
-        return (m_new, l_new, acc_new, kc, vc, mc), None
+        return m_new, l_new, acc_new
 
-    (m, l, acc, *_), _ = jax.lax.scan(tick, (m, l, acc, k, v, key_mask),
-                                      None, length=n_ring)
+    def tick(carry, _):
+        m, l, acc, kc, vc, mc = carry
+        m, l, acc = absorb(m, l, acc, kc, vc, mc)
+        kc = jax.lax.ppermute(kc, axis, perm)
+        vc = jax.lax.ppermute(vc, axis, perm)
+        mc = jax.lax.ppermute(mc, axis, perm)
+        return (m, l, acc, kc, vc, mc), None
+
+    kc, vc, mc = k, v, key_mask
+    if n_ring > 1:
+        # a standard ring does n_ring - 1 permutes: the rotation after
+        # the LAST slice would only be discarded, and through ICI those
+        # 3 extra collectives per attention call are pure waste
+        (m, l, acc, kc, vc, mc), _ = jax.lax.scan(
+            tick, (m, l, acc, kc, vc, mc), None, length=n_ring - 1)
+    m, l, acc = absorb(m, l, acc, kc, vc, mc)      # final slice, no permute
     return (acc / l[..., None]).astype(q.dtype)
 
 
 def _ring_blocks(blocks, norm, tokens: jax.Array, mask: jax.Array,
-                 cfg: ViTConfig, mesh: Mesh) -> jax.Array:
+                 cfg: ViTConfig, mesh: Mesh,
+                 all_layers: bool = True) -> jax.Array:
     """Run the block stack with the token axis sharded over ``seq``.
     Returns the final-LayerNormed per-layer token stack [L, B, T_pad, D]
-    — ``vit_apply(all_layers=True)``'s contract (before pad removal).
+    — ``vit_apply(all_layers=True)``'s contract (before pad removal) —
+    or just the final layer [B, T_pad, D] when ``all_layers=False``:
+    both production callers (training, the canvas Evaluator) only need
+    the last layer, and materializing the [L, B, T, D] stack inside the
+    stage would cost L× the activation memory on exactly the long-token
+    path SP exists to shrink.
     """
     S = _seq_size(mesh)
     B, T, D = tokens.shape
@@ -173,17 +188,22 @@ def _ring_blocks(blocks, norm, tokens: jax.Array, mask: jax.Array,
             x = x + mlp_apply(bp["mlp"],
                               layer_norm(bp["norm2"], x, cfg.ln_eps),
                               activation="gelu")
-            return x, layer_norm(norm_p, x, cfg.ln_eps)
+            return x, (layer_norm(norm_p, x, cfg.ln_eps)
+                       if all_layers else None)
 
-        _, stack = jax.lax.scan(body, toks, local_blocks)
-        return stack                                      # [L, b, C, D]
+        final, stack = jax.lax.scan(body, toks, local_blocks)
+        if all_layers:
+            return stack                                  # [L, b, C, D]
+        return layer_norm(norm_p, final, cfg.ln_eps)      # [b, C, D]
 
+    out_specs = (P(None, dspec, "seq", None) if all_layers
+                 else P(dspec, "seq", None))
     return jax.shard_map(
         stage, mesh=mesh,
         in_specs=(jax.tree.map(lambda _: P(), blocks),
                   jax.tree.map(lambda _: P(), norm),
                   P(dspec, "seq", None), P(dspec, "seq")),
-        out_specs=P(None, dspec, "seq", None),
+        out_specs=out_specs,
         check_vma=False)(blocks, norm, tokens, mask)
 
 
@@ -210,11 +230,10 @@ def sp_vit_apply(params: dict, x: jax.Array, cfg: ViTConfig,
         tokens = jnp.pad(tokens, ((0, 0), (0, t_pad - T), (0, 0)))
         mask = jnp.pad(mask, ((0, 0), (0, t_pad - T)))   # pads: False
     stack = _ring_blocks(params["blocks"], params["norm"], tokens, mask,
-                         cfg, mesh)
-    stack = stack[:, :, :T]                              # drop ring pads
+                         cfg, mesh, all_layers=all_layers)
     if all_layers:
-        return stack                                     # [L, B, 1+N, D]
-    return stack[-1]                                     # == final normed
+        return stack[:, :, :T]                           # drop ring pads
+    return stack[:, :T]                                  # final normed
 
 
 def make_sp_apply(mesh: Mesh):

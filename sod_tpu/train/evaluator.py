@@ -115,14 +115,21 @@ class Evaluator:
             # TP meshes shard the weights (parallel/tp.py rules); seq and
             # 1-D data meshes replicate them, as before
             self.params = shard_params(self.params, mesh)
-            n_data = (mesh.shape.get("data", mesh.devices.size)
-                      if "data" in mesh.axis_names else mesh.devices.size)
-            if batch_size % n_data != 0:
-                raise ValueError(
-                    f"batch_size {batch_size} not divisible by the mesh's "
-                    f"data axis ({n_data})")
+            # every supported mesh has a "data" axis (batch_sharding
+            # hardcodes P("data")); index, don't fall back
+            self._n_data = mesh.shape["data"]
+            self._check_batch(batch_size)
         self._compiled = {}
         self._canvas_cache = {}
+
+    def _check_batch(self, batch_size: int) -> None:
+        """The per-call batch override must satisfy the same mesh
+        divisibility as the constructor's — otherwise the failure is an
+        opaque uneven-sharding error deep inside device_put."""
+        if self.mesh is not None and batch_size % self._n_data != 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by the mesh's "
+                f"data axis ({self._n_data})")
 
     def _max_image_size(self, dataset, dataset_name, img_size):
         """Max (h, w) over the dataset's images, computed ONCE.
@@ -283,8 +290,19 @@ class Evaluator:
                  img_size: Optional[int] = None, scale_factor: int = 2,
                  batch_size: Optional[int] = None, device=None,
                  cost_type: str = "iou") -> Dict[str, float]:
+        """``scale_factor`` and ``device`` mirror the reference
+        evaluator's call surface: the mask upsample is fixed at the
+        reference's only shipped value (scale_factor=2, the x4 grid —
+        evaluator pyc 209-211), so any other request fails loudly
+        instead of being silently ignored; ``device`` placement is mesh
+        instance state here."""
+        if scale_factor != 2:
+            raise NotImplementedError(
+                "the canvas pipeline implements the reference's "
+                "scale_factor=2 (x4 mask upsample) only")
         cfg = self.cfg
         batch_size = batch_size or self.batch_size
+        self._check_batch(batch_size)
         dataset = get_dataset(self.dir_dataset, dataset_name, mode="test",
                               eval_img_size=img_size or cfg.eval_image_size)
         if len(dataset) == 0:
@@ -324,6 +342,7 @@ class Evaluator:
                             collate_fn=collate_canvas)
 
         rows = []
+        pending = []                        # (n, device-side metric dict)
         for bi, batch in enumerate(loader):
             n = batch["n"]
             hw = batch["hw"]
@@ -338,7 +357,15 @@ class Evaluator:
             out, vis = step(self.params, *arrays)
             if self.visualizer is not None and bi % self.vis_every == 0:
                 self._visualize(dataset_name, bi, batch, vis)
-            out = jax.device_get(out)
+            # defer the (tiny per-image scalar) metric fetch to the end:
+            # a per-batch device_get blocks the host on every step and
+            # serializes dispatch through the tunnel — the same fix as
+            # the Trainer's epoch-end metric fetch (CLAUDE.md)
+            pending.append((n, out))
+            if self.debug:
+                break
+
+        for n, out in jax.device_get(pending):
             for i in range(n):
                 for k in _METRICS:
                     meters[k].update(float(out[k][i]), 1)
@@ -350,8 +377,6 @@ class Evaluator:
                             [float(out[f"{k}_ub"][i]) for k in
                              ("iou", "pixel_acc", "f_measure", "f_max",
                               "f_mean", "mae", "s_measure")])
-            if self.debug:
-                break
 
         if dir_ckpt is not None:
             os.makedirs(dir_ckpt, exist_ok=True)

@@ -19,8 +19,7 @@ from sod_tpu.losses.criterion import criterion_forward
 from sod_tpu.models.maskformer import MaskFormerConfig, config_from, maskformer_apply
 
 
-def _jit_train(fn, micro_batch: int = 0, fused: bool = False,
-               out_shardings=None):
+def _jit_train(fn, fused: bool = False, out_shardings=None):
     """jit; on TPU, fused-train programs get a raised scoped-VMEM limit.
 
     XLA's default scoped-VMEM budget (16.00-20.59 MB depending on live
@@ -161,8 +160,7 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
 
     micro_b = max(1, cfg.batch_size // max(1, accum_steps))
     if accum_steps <= 1:
-        @functools.partial(_jit_train, micro_batch=micro_b,
-                           fused=cfg.use_fused_train,
+        @functools.partial(_jit_train, fused=cfg.use_fused_train,
                            out_shardings=out_shardings)
         def train_step(params, opt_state, batch):
             (loss, (res, bn_stats)), grads = jax.value_and_grad(
@@ -183,7 +181,7 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
                                       micro, forward, use_cls, _metrics,
                                       merge_bn_stats, out_shardings)
 
-    @functools.partial(_jit_train, micro_batch=micro_b,
+    @functools.partial(_jit_train,
                        fused=cfg.use_fused_train,
                        out_shardings=out_shardings)
     def train_step_accum(params, opt_state, batch):
@@ -258,7 +256,7 @@ def _make_exact_accum_step(cfg, tx, mcfg, accum_steps, micro_b, micro,
         main_sum = res["avg_loss"] * nk
         return main_sum, res, bn_stats, out
 
-    @functools.partial(_jit_train, micro_batch=micro_b,
+    @functools.partial(_jit_train,
                        fused=cfg.use_fused_train,
                        out_shardings=out_shardings)
     def train_step_exact(params, opt_state, batch):
@@ -329,12 +327,25 @@ def _make_exact_accum_step(cfg, tx, mcfg, accum_steps, micro_b, micro,
 
 
 def make_eval_step(cfg: Config,
-                   mcfg: Optional[MaskFormerConfig] = None) -> Callable:
+                   mcfg: Optional[MaskFormerConfig] = None,
+                   apply_fn: Optional[Callable] = None,
+                   fused: bool = True) -> Callable:
     """Forward-only step returning last-layer masks + objectness
-    (ref evaluator pyc 199-205 takes the last decoder layer)."""
+    (ref evaluator pyc 199-205 takes the last decoder layer).
+
+    :param apply_fn: forward override for mesh configurations whose
+        params the plain ``maskformer_apply`` cannot consume (the GPipe /
+        ring-attention / 3-D-mesh stage programs, ``parallel/*.py``) —
+        the Trainer passes the SAME apply_fn its train step uses.
+    :param fused: route the encoder through the whole-block Pallas
+        kernel.  Must be False whenever the params are sharded over a
+        model axis or stored sharded (fsdp='full') — Pallas kernels are
+        single-shard programs (``parallel/mesh.py::assert_xla_path``).
+    """
     if mcfg is None:
         mcfg = config_from(cfg)
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    fwd = apply_fn or maskformer_apply
 
     @jax.jit
     def eval_step(params, image):
@@ -346,8 +357,8 @@ def make_eval_step(cfg: Config,
             from sod_tpu.data.augment import normalize_device
 
             image = normalize_device(image)
-        out = maskformer_apply(params, image.astype(compute_dtype), mcfg,
-                               fused=True)
+        kw = {} if apply_fn is not None else {"fused": fused}
+        out = fwd(params, image.astype(compute_dtype), mcfg, **kw)
         mask_pred = out["mask_pred"][:, -1].astype(jnp.float32)   # [B, Q, h, w]
         objectness = out["objectness"][:, -1, :, 0].astype(jnp.float32)  # [B, Q]
         return {"mask_pred": mask_pred, "objectness": objectness}

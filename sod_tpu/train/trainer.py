@@ -140,6 +140,9 @@ class Trainer:
 
             assert_sp_compatible(cfg, self.mesh)
             apply_fn = make_sp_apply(self.mesh)
+        # kept for the visualization step: mesh forwards that the plain
+        # maskformer_apply cannot express reuse the SAME stage program
+        self._apply_fn = apply_fn
 
         if self.mesh is not None:
             # TP meshes shard weights per parallel/tp.py rules, PP meshes
@@ -371,8 +374,25 @@ class Trainer:
                 if not hasattr(self, "_vis_step"):
                     from sod_tpu.train.step import make_eval_step
 
-                    self._vis_step = make_eval_step(self.cfg, self.mcfg)
-                outs = self._vis_step(self.params, arrays["image"][:1])
+                    # mesh shapes whose params the single-shard fused
+                    # kernel cannot consume (TP/PP/SP/p3 shardings,
+                    # fsdp='full' stored-sharded weights) run the vis
+                    # forward through the train step's own apply_fn /
+                    # the XLA path; stage programs (apply_fn set) also
+                    # need the FULL batch (GPipe/ring divisibility), so
+                    # the [:1] slice moves to the outputs
+                    unfused = self.mesh is not None and (
+                        self._apply_fn is not None
+                        or self.mesh.shape.get("model", 1) > 1
+                        or getattr(self.cfg, "fsdp", "none") == "full")
+                    self._vis_step = make_eval_step(
+                        self.cfg, self.mcfg, apply_fn=self._apply_fn,
+                        fused=not unfused)
+                if self._apply_fn is not None:
+                    outs = self._vis_step(self.params, arrays["image"])
+                    outs = {k: v[:1] for k, v in outs.items()}
+                else:
+                    outs = self._vis_step(self.params, arrays["image"][:1])
                 self.visualizer(num_epoch, it, batch,
                                 outputs={"mask_pred": outs["mask_pred"],
                                          "objectness": outs["objectness"]})

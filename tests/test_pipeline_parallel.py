@@ -256,3 +256,35 @@ def test_pp_trainer_end_to_end(tmp_path, rng):
                      jax.tree.leaves(jax.device_get(t2.params))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_pp_trainer_vis_step_uses_stage_forward(tmp_path, rng):
+    """The in-loop visualization step under a stage-program mesh routes
+    through the train step's own apply_fn on the FULL batch (regression:
+    it used to run the single-shard fused forward on [:1] of
+    mesh-sharded params — the GPipe micro-batching cannot even accept a
+    1-image batch)."""
+    from tests._fixtures import make_duts
+
+    from sod_tpu.train.trainer import Trainer
+    from sod_tpu.utils.visualizer import Visualizer
+
+    make_duts(tmp_path, rng, n_test=0, n_train=4, train_hw=(64, 64))
+    cfg = Config(dir_dataset=str(tmp_path),
+                 pseudo_masks_fp=str(tmp_path / "pseudo.json"),
+                 train_image_size=64, batch_size=4,
+                 compute_dtype="float32", use_pallas_attention=False,
+                 max_gt_masks=2, num_workers=0,
+                 dir_ckpt=str(tmp_path / "ckpt"), n_epochs=1,
+                 mesh_data_axis=2, mesh_pipe_axis=2)
+    mcfg = MaskFormerConfig(n_queries=4, n_decoder_layers=2, vit=_vit_cfg())
+    t = Trainer(cfg, mcfg=mcfg,
+                params=maskformer_init(jax.random.key(0), mcfg),
+                visualizer=Visualizer(str(tmp_path / "vis")))
+    assert t._apply_fn is not None
+    t._train_epoch(1)
+    import glob as _glob
+    import os as _os
+
+    assert _glob.glob(_os.path.join(str(tmp_path / "vis"), "**", "*.png"),
+                      recursive=True), "vis step wrote no grids"
