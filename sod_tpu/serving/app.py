@@ -85,7 +85,8 @@ def create_app(cfg=None, model_path: Optional[str] = None,
                upload_dir: Optional[str] = None,
                load_model: bool = True,
                secret_key: Optional[str] = None,
-               allow_default_admin: bool = False) -> App:
+               allow_default_admin: bool = False,
+               tokens=None, payments=None) -> App:
     app = App(secret_key=secret_key or os.environ.get("SOD_SECRET_KEY",
                                                       secrets.token_hex(16)),
               static_dir=upload_dir or "static", static_url="/static/")
@@ -93,8 +94,11 @@ def create_app(cfg=None, model_path: Optional[str] = None,
     app.booted_at = time.time()
     db = db or open_database()
     emailer = Emailer()
-    tokens = TokenStore()
-    payments = PaymentProvider()
+    # injectable for multi-process serving (serving/pool.py): workers
+    # pass DB-backed stores so signups/OTPs/stub checkouts created on one
+    # worker resolve on any other
+    tokens = tokens or TokenStore()
+    payments = payments or PaymentProvider()
     upload_dir = upload_dir or "static"
     os.makedirs(os.path.join(upload_dir, "temp"), exist_ok=True)
 
@@ -700,6 +704,8 @@ def create_app(cfg=None, model_path: Optional[str] = None,
                 "model_loaded": app.inference is not None,
                 "payment_mode": payments.mode,
                 "pid": os.getpid(), "booted_at": app.booted_at}
+        if getattr(app, "worker_index", None) is not None:
+            info["worker_index"] = app.worker_index
         if app.inference is not None:
             icfg = app.inference.cfg
             info["model"] = {
@@ -707,24 +713,37 @@ def create_app(cfg=None, model_path: Optional[str] = None,
                 "quantize": getattr(icfg, "quantize", "none"),
                 "compute_dtype": icfg.compute_dtype,
                 "n_queries": app.inference.mcfg.n_queries,
-                "micro_batching": app.inference._batcher is not None,
+                "micro_batching": bool(getattr(app.inference,
+                                               "micro_batching", False)),
             }
+            # pool mode: the model lives in the broker process, not here
+            if getattr(app.inference, "is_remote", False):
+                info["model"]["broker_pid"] = app.inference.broker_pid
         return jsonify(info)
 
     return app
 
 
 def main():  # pragma: no cover
-    """Run the dev server (ref ``app.run(debug=True, port=5000)``,
-    ``app.py:3926-3927``)."""
+    """Run the server (ref ``app.run(debug=True, port=5000)``,
+    ``app.py:3926-3927``; threaded, unlike the reference's dev server —
+    and ``--workers N`` boots the multi-process pool, serving/pool.py)."""
     import argparse
-    from wsgiref.simple_server import make_server
+
+    from sod_tpu.serving.web import make_threaded_server
 
     p = argparse.ArgumentParser("sod-tpu serve")
     p.add_argument("--port", type=int, default=5000)
     p.add_argument("--model", type=str, default=None)
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--no-model", action="store_true")
+    p.add_argument("--workers", type=int, default=1,
+                   help="N>1: pre-fork N HTTP worker processes sharing "
+                        "the port (SO_REUSEPORT); the parent keeps the "
+                        "TPU and serves them over a unix-socket broker. "
+                        "Requires a file DB (SOD_DB_PATH). The host "
+                        "image pipeline (~13.6 req/s/core) scales with "
+                        "workers; the model path does not need to.")
     p.add_argument("--allow-default-admin", action="store_true",
                    help="enable the reference's fixed admin credentials "
                         "(dev only; otherwise set SOD_ADMIN_PASSWORD)")
@@ -749,11 +768,18 @@ def main():  # pragma: no cover
         from sod_tpu.config import Config
 
         cfg = (cfg or Config()).replace(quantize=args.quantize)
+    if args.workers > 1:
+        from sod_tpu.serving.pool import serve_pool
+
+        serve_pool(port=args.port, workers=args.workers, cfg=cfg,
+                   model_path=args.model, load_model=not args.no_model,
+                   allow_default_admin=args.allow_default_admin)
+        return
     app = create_app(cfg=cfg, model_path=args.model,
                      load_model=not args.no_model,
                      allow_default_admin=args.allow_default_admin)
     print(f"serving on http://0.0.0.0:{args.port}")
-    make_server("0.0.0.0", args.port, app).serve_forever()
+    make_threaded_server("0.0.0.0", args.port, app).serve_forever()
 
 
 if __name__ == "__main__":  # pragma: no cover

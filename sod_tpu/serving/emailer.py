@@ -125,3 +125,101 @@ class TokenStore:
         with self._otp_lock:
             self.otps.pop(email, None)
             self.otp_attempts.pop(email, None)
+
+
+class DbTokenStore(TokenStore):
+    """sqlite-backed token store for multi-process serving
+    (``serving/pool.py``): a signup/OTP created on one worker must verify
+    on any other, so the reference's in-memory ``signup_data`` semantics
+    (``app.py:516-592``) move to shared tables.  Same behavior as the
+    in-memory base — TTL sweep, one-shot pop, 5-attempt OTP budget — with
+    ``BEGIN IMMEDIATE`` transactions as the cross-process lock (sqlite
+    serializes writers; python's 5 s busy timeout absorbs contention).
+    """
+
+    def __init__(self, db):
+        super().__init__()
+        self.db = db
+        db.execute(
+            "CREATE TABLE IF NOT EXISTS pending_signup ("
+            "token TEXT PRIMARY KEY, name TEXT, email TEXT, "
+            "password TEXT, phone TEXT, expires REAL)")
+        db.execute(
+            "CREATE TABLE IF NOT EXISTS otp ("
+            "email TEXT PRIMARY KEY, otp TEXT, expires REAL, "
+            "attempts INTEGER NOT NULL DEFAULT 0)")
+
+    # --- signup verification ----------------------------------------------
+    def create_signup(self, name: str, email: str, password_hash: str,
+                      phone: str) -> str:
+        now = time.time()
+        self.db.execute("DELETE FROM pending_signup WHERE expires < %s",
+                        (now,))
+        token = secrets.token_urlsafe(24)
+        self.db.execute(
+            "INSERT INTO pending_signup VALUES (%s, %s, %s, %s, %s, %s)",
+            (token, name, email, password_hash, phone,
+             now + TOKEN_TTL_SECONDS))
+        return token
+
+    def pop_signup(self, token: str) -> Optional[Dict]:
+        conn = self.db._conn()
+        conn.execute("BEGIN IMMEDIATE")
+        try:
+            row = conn.execute(
+                "SELECT * FROM pending_signup WHERE token = ?",
+                (token,)).fetchone()
+            conn.execute("DELETE FROM pending_signup WHERE token = ?",
+                         (token,))
+            conn.commit()
+        except BaseException:
+            conn.rollback()
+            raise
+        if row is None or row["expires"] < time.time():
+            return None
+        return {"name": row["name"], "email": row["email"],
+                "password": row["password"], "phone": row["phone"],
+                "expires": row["expires"]}
+
+    # --- OTP ----------------------------------------------------------------
+    def create_otp(self, email: str) -> str:
+        otp = f"{secrets.randbelow(1000000):06d}"
+        self.db.execute(
+            "INSERT INTO otp (email, otp, expires, attempts) "
+            "VALUES (%s, %s, %s, 0) ON CONFLICT(email) DO UPDATE SET "
+            "otp = excluded.otp, expires = excluded.expires, attempts = 0",
+            (email, otp, time.time() + OTP_TTL_SECONDS))
+        return otp
+
+    def verify_otp(self, email: str, otp: str) -> bool:
+        conn = self.db._conn()
+        conn.execute("BEGIN IMMEDIATE")
+        try:
+            row = conn.execute(
+                "SELECT otp, expires, attempts FROM otp WHERE email = ?",
+                (email,)).fetchone()
+            if row is None:
+                conn.commit()
+                return False
+            if row["expires"] < time.time():
+                conn.execute("DELETE FROM otp WHERE email = ?", (email,))
+                conn.commit()
+                return False
+            ok = secrets.compare_digest(row["otp"], otp)
+            if not ok:
+                if row["attempts"] + 1 >= self.OTP_MAX_ATTEMPTS:
+                    # burn the code: the caller must request a fresh OTP
+                    conn.execute("DELETE FROM otp WHERE email = ?",
+                                 (email,))
+                else:
+                    conn.execute(
+                        "UPDATE otp SET attempts = attempts + 1 "
+                        "WHERE email = ?", (email,))
+            conn.commit()
+            return ok
+        except BaseException:
+            conn.rollback()
+            raise
+
+    def consume_otp(self, email: str) -> None:
+        self.db.execute("DELETE FROM otp WHERE email = %s", (email,))

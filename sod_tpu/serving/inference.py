@@ -229,7 +229,79 @@ class MicroBatcher:
                 self._in_flight -= 1
 
 
-class SelfMaskInference:
+class PredictPipeline:
+    """Host-side half of ``/predict``, shared by the in-process service
+    and the worker-pool's ``RemoteInference`` (``serving/pool.py``):
+    PIL decode -> resize to the model size -> ``model_step`` -> LANCZOS
+    restore to the original size -> jet heatmap blend -> base64 PNGs
+    (ref ``SelfMaskInference.predict``, ``app.py:241-347``).
+
+    Subclasses provide ``cfg.eval_image_size`` and ``model_step``.
+    """
+
+    def model_step(self, arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """uint8 ``[S, S, 3]`` resized image -> (uint8 ``[S, S]`` mask in
+        0..255, float32 ``[Q]`` objectness).
+
+        The mask is quantized to uint8 HERE: everything downstream (PNG,
+        heatmap, refine) consumes the quantized mask anyway, and uint8 is
+        what the pool ships over the broker socket (4x smaller than f32,
+        bit-identical results).
+        """
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def predict(self, image: Union[Image.Image, bytes, io.BytesIO],
+                refine: bool = False) -> Dict:
+        """:param refine: additionally run the fast bilateral solver over
+        the predicted mask (the BASELINE "bilateral-solver mask refinement"
+        configuration; ref ``bilateral_solver.py:152-193``) and attach
+        ``refined_mask`` (soft) + ``binary_mask`` PNGs."""
+        if isinstance(image, bytes):
+            image = Image.open(io.BytesIO(image))
+        elif isinstance(image, io.BytesIO) or hasattr(image, "read"):
+            image = Image.open(image)
+        image = image.convert("RGB")
+        orig_w, orig_h = image.size
+
+        size = self.cfg.eval_image_size
+        # ship resized uint8; ImageNet normalization runs on device
+        # (same math as augment.normalize, ref app.py:198-205)
+        arr = np.asarray(resize_pil(image, (size, size), "bilinear"),
+                         np.uint8)
+        mask_small, obj = self.model_step(arr)
+
+        # LANCZOS upsample to original size (ref app.py:286-296)
+        mask_img = Image.fromarray(mask_small)
+        mask_full = mask_img.resize((orig_w, orig_h), Image.LANCZOS)
+        mask_u8 = np.asarray(mask_full)
+
+        # LUT colormap + integer blend: bit-identical to
+        # jet_colormap(mask/255) and (0.5*img + 0.5*heat).astype(uint8)
+        # (float truncation of k/2 == (a+b) >> 1 for integer a, b) at a
+        # fraction of the host cost
+        heat = _JET_LUT[mask_u8]
+        blended = ((np.asarray(image, np.uint16) + heat) >> 1).astype(np.uint8)
+
+        out = {
+            "original": _b64_png(image),
+            "mask": _b64_png(mask_full.convert("L")),
+            "heatmap": _b64_png(Image.fromarray(blended)),
+            "objectness_scores": [float(o) for o in obj],
+        }
+        if refine:
+            from sod_tpu.postprocess import bilateral_solver_output
+
+            mask_arr = mask_u8.astype(np.float32) / 255.0
+            soft, binary = bilateral_solver_output(image, mask_arr)
+            out["refined_mask"] = _b64_png(Image.fromarray(
+                (np.clip(soft, 0, 1) * 255).astype(np.uint8)))
+            out["binary_mask"] = _b64_png(Image.fromarray(
+                (binary.astype(np.uint8) * 255)))
+        return out
+
+
+class SelfMaskInference(PredictPipeline):
     def __init__(self, model_path: Optional[str] = None,
                  config_path: Optional[str] = None,
                  cfg: Optional[Config] = None, params=None,
@@ -403,25 +475,12 @@ class SelfMaskInference:
 
         return restore_checkpoint(model_path)["params"]
 
-    # ------------------------------------------------------------------
-    def predict(self, image: Union[Image.Image, bytes, io.BytesIO],
-                refine: bool = False) -> Dict:
-        """:param refine: additionally run the fast bilateral solver over
-        the predicted mask (the BASELINE "bilateral-solver mask refinement"
-        configuration; ref ``bilateral_solver.py:152-193``) and attach
-        ``refined_mask`` (soft) + ``binary_mask`` PNGs."""
-        if isinstance(image, bytes):
-            image = Image.open(io.BytesIO(image))
-        elif isinstance(image, io.BytesIO) or hasattr(image, "read"):
-            image = Image.open(image)
-        image = image.convert("RGB")
-        orig_w, orig_h = image.size
+    @property
+    def micro_batching(self) -> bool:
+        return self._batcher is not None
 
-        size = self.cfg.eval_image_size
-        # ship resized uint8; ImageNet normalization runs on device
-        # (same math as augment.normalize, ref app.py:198-205)
-        arr = np.asarray(resize_pil(image, (size, size), "bilinear"),
-                         np.uint8)
+    # ------------------------------------------------------------------
+    def model_step(self, arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         if self._batcher is not None:
             mask, obj = self._batcher.submit(arr)
             mask = np.clip(mask, 0.0, 1.0)
@@ -430,32 +489,4 @@ class SelfMaskInference:
                 self.params, self._prep(jnp.asarray(arr)[None]))
             mask = np.clip(np.asarray(mask)[0], 0.0, 1.0)
             obj = np.asarray(obj)[0]
-
-        # LANCZOS upsample to original size (ref app.py:286-296)
-        mask_img = Image.fromarray((mask * 255).astype(np.uint8))
-        mask_full = mask_img.resize((orig_w, orig_h), Image.LANCZOS)
-        mask_u8 = np.asarray(mask_full)
-
-        # LUT colormap + integer blend: bit-identical to
-        # jet_colormap(mask/255) and (0.5*img + 0.5*heat).astype(uint8)
-        # (float truncation of k/2 == (a+b) >> 1 for integer a, b) at a
-        # fraction of the host cost
-        heat = _JET_LUT[mask_u8]
-        blended = ((np.asarray(image, np.uint16) + heat) >> 1).astype(np.uint8)
-
-        out = {
-            "original": _b64_png(image),
-            "mask": _b64_png(mask_full.convert("L")),
-            "heatmap": _b64_png(Image.fromarray(blended)),
-            "objectness_scores": [float(o) for o in obj],
-        }
-        if refine:
-            from sod_tpu.postprocess import bilateral_solver_output
-
-            mask_arr = mask_u8.astype(np.float32) / 255.0
-            soft, binary = bilateral_solver_output(image, mask_arr)
-            out["refined_mask"] = _b64_png(Image.fromarray(
-                (np.clip(soft, 0, 1) * 255).astype(np.uint8)))
-            out["binary_mask"] = _b64_png(Image.fromarray(
-                (binary.astype(np.uint8) * 255)))
-        return out
+        return (mask * 255).astype(np.uint8), np.asarray(obj, np.float32)

@@ -24,7 +24,13 @@ SUBSCRIPTION_DAYS = 30
 
 
 class PaymentProvider:
-    def __init__(self):
+    def __init__(self, stub_store=None):
+        """:param stub_store: optional ``Database`` for the stub-mode
+        checkout sessions.  Multi-process serving (``serving/pool.py``)
+        needs it: the success redirect travels through the browser and
+        may land on a different worker than the one that created the
+        session, so in-memory stub state would 404 the confirm.  Stripe
+        mode is unaffected (sessions live server-side at Stripe)."""
         self._stripe = None
         key = os.environ.get("STRIPE_SECRET_KEY")
         if key:
@@ -36,6 +42,12 @@ class PaymentProvider:
             except ImportError:
                 self._stripe = None
         self._stub_sessions: Dict[str, Dict] = {}
+        self._stub_db = stub_store
+        if stub_store is not None:
+            stub_store.execute(
+                "CREATE TABLE IF NOT EXISTS checkout_stub ("
+                "sid TEXT PRIMARY KEY, plan TEXT, user_id INTEGER, "
+                "created REAL)")
 
     @property
     def mode(self) -> str:
@@ -65,8 +77,14 @@ class PaymentProvider:
             )
             return {"id": session.id, "url": session.url, "mode": "stripe"}
         sid = f"cs_stub_{secrets.token_hex(12)}"
-        self._stub_sessions[sid] = {"plan": plan, "user_id": user_id,
-                                    "created": time.time(), "paid": False}
+        if self._stub_db is not None:
+            self._stub_db.execute(
+                "INSERT INTO checkout_stub VALUES (%s, %s, %s, %s)",
+                (sid, plan, user_id, time.time()))
+        else:
+            self._stub_sessions[sid] = {"plan": plan, "user_id": user_id,
+                                        "created": time.time(),
+                                        "paid": False}
         return {"id": sid,
                 "url": f"{success_url}?session_id={sid}", "mode": "stub"}
 
@@ -85,6 +103,25 @@ class PaymentProvider:
                 return {"plan": s.metadata["plan"],
                         "user_id": int(s.metadata["user_id"])}
             return None
+        if self._stub_db is not None:
+            # one-shot pop under the sqlite write lock (cross-process
+            # atomic; the app layer's unique Session_ID index is the
+            # second line of defense against double-mint)
+            conn = self._stub_db._conn()
+            conn.execute("BEGIN IMMEDIATE")
+            try:
+                row = conn.execute(
+                    "SELECT plan, user_id FROM checkout_stub "
+                    "WHERE sid = ?", (session_id,)).fetchone()
+                conn.execute("DELETE FROM checkout_stub WHERE sid = ?",
+                             (session_id,))
+                conn.commit()
+            except BaseException:
+                conn.rollback()
+                raise
+            if row is None:
+                return None
+            return {"plan": row["plan"], "user_id": row["user_id"]}
         s = self._stub_sessions.pop(session_id, None)
         if s is None:
             return None

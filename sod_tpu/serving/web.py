@@ -312,3 +312,32 @@ def login_required(fn):
 
     wrapper.__name__ = fn.__name__
     return wrapper
+
+
+# ---------------------------------------------------------------------------
+# WSGI servers.  The reference runs Flask's threaded dev server
+# (``app.run(debug=True)``, ref ``app.py:3926-3927``); the stdlib
+# ``wsgiref.simple_server`` default is single-threaded, which would both
+# serialize requests behind one slow upload AND starve the micro-batcher
+# (serving/inference.py) of the co-arriving requests it exists to batch.
+# ---------------------------------------------------------------------------
+def make_threaded_server(host: str, port: int, app: "App",
+                         reuse_port: bool = False):
+    """A threaded WSGI server; ``reuse_port=True`` sets SO_REUSEPORT so
+    several worker PROCESSES can bind the same port and let the kernel
+    load-balance accepted connections across them (serving/pool.py)."""
+    import socket
+    import socketserver
+    from wsgiref.simple_server import WSGIServer, make_server
+
+    class ThreadingWSGIServer(socketserver.ThreadingMixIn, WSGIServer):
+        daemon_threads = True
+        allow_reuse_address = True
+
+        def server_bind(self):
+            if reuse_port:
+                self.socket.setsockopt(socket.SOL_SOCKET,
+                                       socket.SO_REUSEPORT, 1)
+            super().server_bind()
+
+    return make_server(host, port, app, server_class=ThreadingWSGIServer)
