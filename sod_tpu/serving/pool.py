@@ -90,6 +90,8 @@ class InferenceBroker:
             os.unlink(path)
         self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._sock.bind(path)
+        os.chmod(path, 0o600)           # owner-only: the socket runs
+        # arbitrary pickle loads; other local users must not reach it
         self._sock.listen(128)
         self._stop = threading.Event()
         self._conns: set = set()
