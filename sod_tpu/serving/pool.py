@@ -260,7 +260,7 @@ def _worker_main(port: int, socket_path: str, db_path: str, upload_dir: str,
         PR_SET_PDEATHSIG = 1
         ctypes.CDLL("libc.so.6", use_errno=True).prctl(
             PR_SET_PDEATHSIG, _signal.SIGTERM)
-    except OSError:                      # non-Linux: supervisor cleanup only
+    except (OSError, AttributeError):    # non-Linux: supervisor cleanup only
         pass
 
     # NEVER touch the TPU from a worker: the tunnel admits one client
@@ -282,7 +282,21 @@ def _worker_main(port: int, socket_path: str, db_path: str, upload_dir: str,
                      allow_default_admin=allow_default_admin,
                      tokens=DbTokenStore(db),
                      payments=PaymentProvider(stub_store=db))
-    app.inference = None if socket_path == "" else RemoteInference(socket_path)
+    inference = None
+    if socket_path:
+        # mirror create_app's degrade-gracefully stance (ref
+        # app.py:353-376): a worker that cannot reach the broker at boot
+        # (restart race) still serves the product, answering /predict
+        # with "Model not available" instead of crash-looping
+        for attempt in range(3):
+            try:
+                inference = RemoteInference(socket_path)
+                break
+            except (RuntimeError, OSError) as e:
+                print(f"[worker {worker_index}] broker connect failed "
+                      f"(attempt {attempt + 1}/3): {e}", flush=True)
+                time.sleep(1.0)
+    app.inference = inference
     app.worker_index = worker_index
     srv = make_threaded_server("0.0.0.0", port, app, reuse_port=True)
     print(f"[worker {worker_index}] pid {os.getpid()} serving on :{port}",
