@@ -365,33 +365,36 @@ def create_app(cfg=None, model_path: Optional[str] = None,
             "AND (End_Date IS NULL OR End_Date>=%s) "
             "ORDER BY Subscription_ID DESC", (user_id, today))
 
-    def _check_quota(user_id: int):
+    def _check_quota(dbx, user_id: int):
         """Free tier: 3 uploads; else active subscription with remaining
         upload budget (-1 / NULL = unlimited) (ref app.py:2846-2915).
         A subscription whose upload budget is exhausted is marked
         ``expired`` like the reference (app.py:2900-2916) so Status-based
-        analytics stop counting it as active."""
-        sub = _active_subscription(user_id)
+        analytics stop counting it as active.
+
+        ``dbx`` is a ``Database`` OR an open ``db.transaction()`` handle.
+        Returns ``(sub, error)`` instead of raising so a caller inside a
+        transaction can COMMIT (persisting the Expired mark) before
+        surfacing the 403.
+        """
+        today = dt.date.today().isoformat()
+        sub = dbx.query_one(
+            "SELECT * FROM subscription WHERE User_ID=%s AND Status='Active' "
+            "AND (End_Date IS NULL OR End_Date>=%s) "
+            "ORDER BY Subscription_ID DESC", (user_id, today))
         if sub is None:
-            used = db.scalar("SELECT COUNT(*) FROM image WHERE user_id=%s",
-                             (user_id,))
+            used = dbx.scalar("SELECT COUNT(*) FROM image WHERE user_id=%s",
+                              (user_id,))
             if used >= FREE_TIER_UPLOADS:
-                raise HTTPError(403, "Free tier limit reached — subscribe "
-                                     "to continue")
-            return None
+                return None, HTTPError(403, "Free tier limit reached — "
+                                            "subscribe to continue")
+            return None, None
         limit = sub["Upload_Limit"]
         if limit is not None and limit >= 0 and sub["Uploads_Used"] >= limit:
-            db.execute("UPDATE subscription SET Status='Expired' "
-                       "WHERE Subscription_ID=%s", (sub["Subscription_ID"],))
-            raise HTTPError(403, "Subscription upload limit reached")
-        return sub
-
-    # quota check + insert must be one critical section: concurrent
-    # uploads all reading COUNT(*) before any insert commits would let a
-    # free user blow past the 3-upload limit (check-then-act race)
-    import threading as _threading
-
-    quota_lock = _threading.Lock()
+            dbx.execute("UPDATE subscription SET Status='Expired' "
+                        "WHERE Subscription_ID=%s", (sub["Subscription_ID"],))
+            return None, HTTPError(403, "Subscription upload limit reached")
+        return sub, None
 
     @app.route("/save_image_info", methods=["POST"])
     @login_required
@@ -404,29 +407,39 @@ def create_app(cfg=None, model_path: Optional[str] = None,
             raise HTTPError(400, "File type not allowed")
         if len(up.data) > MAX_CONTENT_LENGTH:
             raise HTTPError(413, "File too large (max 50 MB)")
-        with quota_lock:
-            sub = _check_quota(user_id)
-
-            # token suffix: same-second same-name uploads (across users)
-            # must not overwrite each other's file on disk
-            fname = (f"{int(time.time())}_{secrets.token_hex(4)}_"
-                     f"{os.path.basename(up.filename)}")
-            up.save(os.path.join(upload_dir, "temp", fname))
-            ext = up.filename.rsplit(".", 1)[1].lower()
-            image_id = db.execute(
-                "INSERT INTO image (uploaded_image, file_type, file_size, "
-                "user_id, uploaded_at) VALUES (%s, %s, %s, %s, "
-                "datetime('now'))",
-                (fname, ext, len(up.data) // 1024, user_id))
-            result = (f"Dominant Color: {_dominant_color(up.data)}, "
-                      f"Type: {ext}, Size: {len(up.data) / 1024:.2f} KB")
-            db.execute("INSERT INTO result (Result_data, Image_ID, User_ID, "
-                       "processed_at) VALUES (%s, %s, %s, datetime('now'))",
-                       (result, image_id, user_id))
-            if sub is not None:
-                db.execute(
-                    "UPDATE subscription SET Uploads_Used=Uploads_Used+1 "
-                    "WHERE Subscription_ID=%s", (sub["Subscription_ID"],))
+        # quota check + insert must be one critical section: concurrent
+        # uploads all reading COUNT(*) before any insert commits would let
+        # a free user blow past the 3-upload limit (check-then-act race).
+        # db.transaction() takes sqlite's write lock via BEGIN IMMEDIATE,
+        # so the section is atomic across --workers N processes too (a
+        # threading.Lock only covers threads of one process).
+        with db.transaction() as txn:
+            sub, quota_err = _check_quota(txn, user_id)
+            if quota_err is None:
+                # token suffix: same-second same-name uploads (across
+                # users) must not overwrite each other's file on disk
+                fname = (f"{int(time.time())}_{secrets.token_hex(4)}_"
+                         f"{os.path.basename(up.filename)}")
+                up.save(os.path.join(upload_dir, "temp", fname))
+                ext = up.filename.rsplit(".", 1)[1].lower()
+                image_id = txn.execute(
+                    "INSERT INTO image (uploaded_image, file_type, "
+                    "file_size, user_id, uploaded_at) VALUES (%s, %s, %s, "
+                    "%s, datetime('now'))",
+                    (fname, ext, len(up.data) // 1024, user_id))
+                result = (f"Dominant Color: {_dominant_color(up.data)}, "
+                          f"Type: {ext}, Size: {len(up.data) / 1024:.2f} KB")
+                txn.execute(
+                    "INSERT INTO result (Result_data, Image_ID, User_ID, "
+                    "processed_at) VALUES (%s, %s, %s, datetime('now'))",
+                    (result, image_id, user_id))
+                if sub is not None:
+                    txn.execute(
+                        "UPDATE subscription SET Uploads_Used="
+                        "Uploads_Used+1 WHERE Subscription_ID=%s",
+                        (sub["Subscription_ID"],))
+        if quota_err is not None:
+            raise quota_err
         return jsonify({"success": True, "image_id": image_id,
                         "filename": fname, "result": result})
 

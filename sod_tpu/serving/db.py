@@ -8,6 +8,7 @@ them for sqlite.
 """
 from __future__ import annotations
 
+import contextlib
 import os
 import re
 import sqlite3
@@ -54,6 +55,11 @@ class Database:
                                    check_same_thread=False)
             conn.row_factory = sqlite3.Row
             conn.execute("PRAGMA foreign_keys=ON")
+            # cross-process writers (serve.py --workers N) contend on the
+            # sqlite file lock; without a busy timeout a BEGIN IMMEDIATE
+            # in one worker makes concurrent writes in another fail
+            # instantly with "database is locked"
+            conn.execute("PRAGMA busy_timeout=10000")
             self._local.conn = conn
         return conn
 
@@ -118,6 +124,29 @@ class Database:
             return None
         return next(iter(row.values()))
 
+    @contextlib.contextmanager
+    def transaction(self):
+        """Cross-process atomic section.
+
+        ``BEGIN IMMEDIATE`` takes sqlite's write lock up front, so a
+        concurrent ``transaction()`` in ANOTHER process blocks (up to the
+        busy timeout) until this one commits — check-then-act sequences
+        like the upload-quota gate stay atomic across ``serve.py
+        --workers N`` worker processes, where a ``threading.Lock`` cannot
+        reach.  Commits on clean exit, rolls back on exception.  All
+        statements inside must go through the yielded handle (the plain
+        ``execute`` method would commit mid-transaction).
+        """
+        conn = self._conn()
+        with self._lock:
+            conn.execute("BEGIN IMMEDIATE")
+            try:
+                yield _Transaction(conn)
+            except BaseException:
+                conn.rollback()
+                raise
+            conn.commit()
+
     # --- diagnostics (ref /test_db, app.py:3973-4049) -----------------------
     def health(self) -> dict:
         tables = [r["name"] for r in self.query(
@@ -142,6 +171,37 @@ class Database:
                 if k.lower() == "password" and r[k]:
                     r[k] = "********"
         return rows
+
+
+class _Transaction:
+    """Statement handle bound to an open ``BEGIN IMMEDIATE`` transaction.
+
+    Mirrors the ``Database`` query helpers but never commits — the
+    enclosing ``Database.transaction()`` context manager owns
+    commit/rollback.
+    """
+
+    def __init__(self, conn: sqlite3.Connection):
+        self._conn = conn
+
+    def execute(self, sql: str, params: Iterable[Any] = ()) -> int:
+        cur = self._conn.execute(Database._convert(sql), tuple(params))
+        return cur.lastrowid
+
+    def query(self, sql: str, params: Iterable[Any] = ()) -> List[dict]:
+        cur = self._conn.execute(Database._convert(sql), tuple(params))
+        return [dict(r) for r in cur.fetchall()]
+
+    def query_one(self, sql: str,
+                  params: Iterable[Any] = ()) -> Optional[dict]:
+        rows = self.query(sql, params)
+        return rows[0] if rows else None
+
+    def scalar(self, sql: str, params: Iterable[Any] = ()) -> Any:
+        row = self.query_one(sql, params)
+        if row is None:
+            return None
+        return next(iter(row.values()))
 
 
 def open_database(url: Optional[str] = None) -> Database:

@@ -31,8 +31,10 @@ parent's MicroBatcher exactly like concurrent threads did.
 """
 from __future__ import annotations
 
+import collections
 import os
 import pickle
+import queue
 import socket
 import struct
 import threading
@@ -89,9 +91,17 @@ class InferenceBroker:
         if os.path.exists(path):
             os.unlink(path)
         self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        self._sock.bind(path)
-        os.chmod(path, 0o600)           # owner-only: the socket runs
-        # arbitrary pickle loads; other local users must not reach it
+        # the socket runs arbitrary pickle loads, so other local users
+        # must never reach it — not even during the bind→chmod window.
+        # Callers put the path inside a 0700 tempdir (broker_socket_path);
+        # the umask guard makes the node itself 0600 from birth as
+        # defense in depth.
+        old_umask = os.umask(0o077)
+        try:
+            self._sock.bind(path)
+        finally:
+            os.umask(old_umask)
+        os.chmod(path, 0o600)
         self._sock.listen(128)
         self._stop = threading.Event()
         self._conns: set = set()
@@ -187,15 +197,19 @@ class InferenceBroker:
 class RemoteInference(PredictPipeline):
     """Drop-in for ``SelfMaskInference`` inside a worker: the host image
     pipeline runs locally (that's the point of the pool), only
-    ``model_step`` crosses the broker socket.  Thread-local persistent
-    connections; one transparent reconnect on a broken pipe (broker
-    restart)."""
+    ``model_step`` crosses the broker socket.  Connections come from a
+    small bounded pool (NOT thread-locals: the worker's ThreadingMixIn
+    server spawns a fresh thread per HTTP request, so a thread-local
+    "persistent" connection would really be per-request churn — one
+    connect + one lingering broker thread per /predict).  One
+    transparent retry on a broken pipe (broker restart)."""
 
     is_remote = True
+    POOL_MAX = 16   # idle connections kept; excess are closed on check-in
 
     def __init__(self, socket_path: str):
         self.socket_path = socket_path
-        self._local = threading.local()
+        self._pool: "queue.Queue[socket.socket]" = queue.Queue(self.POOL_MAX)
         info = self._call("info", None)
         self.info = info
         self.cfg = SimpleNamespace(
@@ -206,18 +220,18 @@ class RemoteInference(PredictPipeline):
         self.broker_pid = info["broker_pid"]
         self._batcher = None                 # API parity with the local svc
 
-    def _conn(self) -> socket.socket:
-        c = getattr(self._local, "conn", None)
-        if c is None:
+    def _checkout(self) -> socket.socket:
+        try:
+            return self._pool.get_nowait()
+        except queue.Empty:
             c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             c.connect(self.socket_path)
-            self._local.conn = c
-        return c
+            return c
 
-    def _drop_conn(self) -> None:
-        c = getattr(self._local, "conn", None)
-        self._local.conn = None
-        if c is not None:
+    def _checkin(self, c: socket.socket) -> None:
+        try:
+            self._pool.put_nowait(c)
+        except queue.Full:
             try:
                 c.close()
             except OSError:
@@ -225,16 +239,27 @@ class RemoteInference(PredictPipeline):
 
     def _call(self, op: str, arg: Any, _retried: bool = False) -> Any:
         try:
-            c = self._conn()
+            c = self._checkout()
+        except OSError as e:
+            raise RuntimeError(
+                f"inference broker unavailable at {self.socket_path}: "
+                f"{e}") from e
+        try:
             _send_msg(c, (op, arg))
             status, val = _recv_msg(c)
         except (ConnectionError, OSError, EOFError) as e:
-            self._drop_conn()
+            try:
+                c.close()
+            except OSError:
+                pass
             if _retried:
                 raise RuntimeError(
                     f"inference broker unavailable at {self.socket_path}: "
                     f"{e}") from e
+            # a pooled socket may be stale (broker restarted while it sat
+            # idle) — retry once on a fresh connection
             return self._call(op, arg, _retried=True)
+        self._checkin(c)
         if status != "ok":
             raise RuntimeError(f"inference broker error: {val}")
         return val
@@ -350,12 +375,15 @@ def serve_pool(port: int, workers: int, cfg=None,
 
     socket_path = ""
     broker = None
+    socket_dir = None
     if load_model:
         from sod_tpu.serving.inference import SelfMaskInference
 
         svc = SelfMaskInference(model_path=model_path, cfg=cfg)
-        socket_path = os.path.join(tempfile.gettempdir(),
-                                   f"sod-broker-{os.getpid()}.sock")
+        # a private 0700 directory (not bare /tmp): no other local user
+        # can connect during the bind window or pre-plant/unlink the path
+        socket_dir = tempfile.mkdtemp(prefix="sod-broker-")
+        socket_path = os.path.join(socket_dir, "broker.sock")
         broker = InferenceBroker(svc, socket_path)
 
     ctx = mp.get_context("spawn")
@@ -371,16 +399,27 @@ def serve_pool(port: int, workers: int, cfg=None,
     procs = {i: spawn(i) for i in range(workers)}
     print(f"serving on http://0.0.0.0:{port} with {workers} workers "
           f"(broker pid {os.getpid()}, db {db_path})", flush=True)
-    restarts = 0
+    # crash-loop guard: a SLIDING WINDOW, not a lifetime counter — a
+    # worker that OOMs once a day over a long uptime must never add up
+    # to a whole-pool shutdown.  Only a burst of restarts within the
+    # window (a genuine crash loop) trips it.
+    restart_window_sec = 300.0
+    restart_times: collections.deque = collections.deque()
     try:
         while True:
             time.sleep(1.0)
             for i, p in list(procs.items()):
                 if not p.is_alive():
-                    restarts += 1
-                    if restarts > max_restarts_per_worker * workers:
+                    now = time.monotonic()
+                    restart_times.append(now)
+                    while (restart_times and
+                           now - restart_times[0] > restart_window_sec):
+                        restart_times.popleft()
+                    if len(restart_times) > max_restarts_per_worker * workers:
                         raise RuntimeError(
-                            "workers are crash-looping; shutting down")
+                            f"workers are crash-looping "
+                            f"({len(restart_times)} restarts in "
+                            f"{restart_window_sec:.0f}s); shutting down")
                     print(f"[pool] worker {i} (pid {p.pid}) exited with "
                           f"code {p.exitcode}; restarting", flush=True)
                     procs[i] = spawn(i)
@@ -393,3 +432,7 @@ def serve_pool(port: int, workers: int, cfg=None,
             p.join(timeout=5)
         if broker is not None:
             broker.close()
+        if socket_dir is not None:
+            import shutil
+
+            shutil.rmtree(socket_dir, ignore_errors=True)

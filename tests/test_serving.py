@@ -249,6 +249,44 @@ def test_upload_quota_and_subscription(client):
     assert r["uploads_used"] == 1
 
 
+def test_upload_quota_atomic_across_workers(tmp_path):
+    """Two app instances on one DB FILE (~ two pool workers) racing
+    uploads must never over-admit past the free-tier cap: the quota
+    check+insert runs under ``db.transaction()`` (BEGIN IMMEDIATE), so
+    cross-process writers serialize on sqlite's file lock — a
+    threading.Lock could not reach across workers (ADVICE r4)."""
+    import threading
+
+    db_path = str(tmp_path / "sod.db")
+    mk = lambda: create_app(db=Database(db_path), load_model=False,  # noqa: E731
+                            upload_dir=str(tmp_path / "static"),
+                            secret_key="test-secret")
+    a, b = Client(mk()), Client(mk())
+    _signup_and_login(a)
+    st, r = b.post("/user_login", json_body={"email": "u@example.com",
+                                             "password": "pw123"})
+    assert st == 200 and r["success"]
+
+    png = _png_bytes()
+    statuses = []
+    lock = threading.Lock()
+
+    def upload(c, i):
+        st, _ = c.post("/save_image_info",
+                       files={"image": (f"r{i}.png", png)})
+        with lock:
+            statuses.append(st)
+
+    threads = [threading.Thread(target=upload, args=(c, i))
+               for i, c in enumerate([a, b, a, b, a, b, a, b])]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert sorted(statuses) == [200] * 3 + [403] * 5
+    assert Database(db_path).scalar("SELECT COUNT(*) FROM image") == 3
+
+
 def test_payment_success_not_replayable(client):
     """One paid session_id mints exactly ONE subscription (ADVICE r1:
     the ref re-inserts a 30-day sub on every /payment-success call)."""

@@ -86,8 +86,21 @@ def test_remote_reconnects_after_drop(broker_env):
     remote = RemoteInference(path)
     png = _png()
     assert remote.predict(png) == svc.predict(png)
-    remote._local.conn.close()          # simulate a broken pipe
+    # simulate a broken pipe on every pooled connection (broker restart
+    # while the sockets sat idle in the pool)
+    while not remote._pool.empty():
+        remote._pool.get_nowait().close()
     assert remote.predict(png) == svc.predict(png)
+
+
+def test_remote_pool_reuses_connections(broker_env):
+    _, path = broker_env
+    remote = RemoteInference(path)
+    for _ in range(5):
+        assert remote._call("ping", None) == "pong"
+    # sequential calls from one thread must reuse ONE pooled socket, not
+    # open five (per-request churn was the round-4 advisor finding)
+    assert remote._pool.qsize() == 1
 
 
 def test_remote_raises_when_broker_gone(tmp_path):
