@@ -49,6 +49,12 @@ def main():
     ap.add_argument("--patch-size", type=int, default=16)
     ap.add_argument("--root", default="/tmp/sod_maskgen_imgs")
     ap.add_argument("--fp", default="/tmp/maskgen_bench.json")
+    ap.add_argument("--pipelined-only", action="store_true",
+                    help="skip the staged split: running the staged pass "
+                         "first leaves this process with extra large "
+                         "jitted programs, which degrades tunnel dispatch "
+                         "and contaminates the end-to-end number (this "
+                         "was the r4 12.69 vs 23 discrepancy)")
     args = ap.parse_args()
 
     from sod_tpu.data.mask_generator import MaskGenerator, vote_mask
@@ -69,43 +75,50 @@ def main():
           f"({len(args.feature_types)} backbones, one program each)",
           flush=True)
 
-    # stage split (unpipelined): candidate extraction, then vote/RLE
-    t0 = time.perf_counter()
-    candidates = gen.extract_candidate_masks(paths)
-    t_extract = time.perf_counter() - t0
+    n = len(paths)
+    out = None
+    if not args.pipelined_only:
+        # stage split (unpipelined): candidate extraction, then vote/RLE.
+        # NOTE: this leaves extra large programs in the process, which
+        # degrades tunnel dispatch for the pipelined measurement below —
+        # for the HONEST end-to-end number run with --pipelined-only.
+        t0 = time.perf_counter()
+        candidates = gen.extract_candidate_masks(paths)
+        t_extract = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    out = {}
-    for path, stack in candidates.items():
-        filtered, _ = filter_masks(stack, remove_long_masks=True,
-                                   remove_small_large_masks=True)
-        winner = filtered[vote_mask(filtered)]
-        out[os.path.basename(path)] = rle_codec.encode(
-            winner.astype(np.uint8))
-    t_vote = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = {}
+        for path, stack in candidates.items():
+            filtered, _ = filter_masks(stack, remove_long_masks=True,
+                                       remove_small_large_masks=True)
+            winner = filtered[vote_mask(filtered)]
+            out[os.path.basename(path)] = rle_codec.encode(
+                winner.astype(np.uint8))
+        t_vote = time.perf_counter() - t0
 
+        total = t_extract + t_vote
+        print(f"extract+cluster (device): {t_extract:7.1f}s  "
+              f"{n / t_extract:6.2f} img/s", flush=True)
+        print(f"filter+vote+RLE  (host):  {t_vote:7.1f}s  "
+              f"{n / t_vote:6.2f} img/s", flush=True)
+        print(f"staged total: {total:.1f}s  {n / total:6.2f} img/s",
+              flush=True)
+
+    # the REAL pipelined path: dump() overlaps host vote/RLE with the
+    # next batch's device work (round 4) and includes the JSON write —
+    # the same protocol bench.py reports as maskgen_images_per_sec
     import json
 
-    with open(args.fp, "w") as f:
-        json.dump(out, f)
-    n = len(paths)
-    total = t_extract + t_vote
-    print(f"extract+cluster (device): {t_extract:7.1f}s  "
-          f"{n / t_extract:6.2f} img/s", flush=True)
-    print(f"filter+vote+RLE  (host):  {t_vote:7.1f}s  "
-          f"{n / t_vote:6.2f} img/s", flush=True)
-    print(f"staged total: {total:.1f}s  {n / total:6.2f} img/s", flush=True)
-
-    # the REAL pipelined path: __call__ overlaps host vote/RLE with the
-    # next batch's device work (round 4)
     t0 = time.perf_counter()
-    out2 = gen(paths)
+    gen.dump(paths, args.fp)
     t_pipe = time.perf_counter() - t0
-    assert out2.keys() == out.keys()
-    print(f"END-TO-END (pipelined __call__): {n} images, "
+    with open(args.fp) as f:
+        out2 = json.load(f)
+    assert len(out2) == n and (out is None or out2.keys() == out.keys())
+    print(f"END-TO-END (pipelined dump incl. JSON write): {n} images, "
           f"{len(args.feature_types)} backbones, k={args.cluster_sizes}: "
           f"{t_pipe:.1f}s  {n / t_pipe:6.2f} img/s", flush=True)
-    print(f"wrote {args.fp} ({len(out)} masks)", flush=True)
+    print(f"wrote {args.fp} ({len(out2)} masks)", flush=True)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--cost_type", type=str, default="iou",
                    choices=["iou", "f_measure", "f_max", "mae"])
+    p.add_argument("--scale_factor", type=int, default=2,
+                   help="pixel-decoder upsample factor (ref evaluator pyc "
+                        "164 call surface; must divide the patch size — "
+                        "{1, 2, 4, 8} at p=8; the shipped value is 2)")
     p.add_argument("--debug", "-d", action="store_true",
                    help="break after one batch (ref evaluator pyc 272)")
     p.add_argument("--n_devices", type=int, default=None,
@@ -95,7 +99,8 @@ def main(argv=None) -> None:
                           debug=args.debug, mesh=mesh)
     metrics = evaluator(dataset_name=args.dataset_name,
                         dir_ckpt=f"{args.dir_root}/eval/{experim}",
-                        batch_size=args.batch_size, cost_type=args.cost_type)
+                        batch_size=args.batch_size, cost_type=args.cost_type,
+                        scale_factor=args.scale_factor)
     print(json.dumps(metrics, indent=2))
 
 

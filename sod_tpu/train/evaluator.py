@@ -183,12 +183,24 @@ class Evaluator:
         self._canvas_cache[key] = hw
         return hw
 
-    def _eval_fn(self, canvas_hw, cost_type):
-        key = (canvas_hw, cost_type)
+    def _eval_fn(self, canvas_hw, cost_type, scale_factor: int = 2):
+        key = (canvas_hw, cost_type, scale_factor)
         if key in self._compiled:
             return self._compiled[key]
         mcfg = self.mcfg
+        if scale_factor != mcfg.scale_factor:
+            # the live pixel decoder is a parameter-free bilinear upsample
+            # (ref maskformer.py:144-162), so the eval-time scale_factor
+            # can differ from the training config without weight changes
+            import dataclasses
+
+            mcfg = dataclasses.replace(mcfg, scale_factor=scale_factor)
         p = mcfg.vit.patch_size
+        # masks leave the model at scale_factor x grid resolution; this
+        # upsample returns them to canvas (= pixel) resolution.  At the
+        # reference's shipped scale_factor=2 with p=8 it is the exact x4
+        # of evaluator pyc 209-211.
+        up_factor = p // scale_factor
         gh_c, gw_c = canvas_hw[0] // p, canvas_hw[1] // p
         compute_dtype = (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
                          else jnp.float32)
@@ -248,9 +260,11 @@ class Evaluator:
                 metrics = eval_batch_metrics_lowres(masks, obj, gt, sizes,
                                                     cost_type=cost_type)
             else:
-                # x4 bilinear upsample back to canvas resolution
-                # (ref evaluator pyc 209-211: F.interpolate(scale_factor=4))
-                h4, w4 = masks.shape[-2] * 4, masks.shape[-1] * 4
+                # bilinear upsample back to canvas resolution (x4 at the
+                # shipped scale_factor=2 — ref evaluator pyc 209-211:
+                # F.interpolate(scale_factor=4))
+                h4 = masks.shape[-2] * up_factor
+                w4 = masks.shape[-1] * up_factor
                 up = interpolate_bilinear(masks, h4, w4)
                 metrics = eval_batch_metrics(up, obj, gt, sizes,
                                              cost_type=cost_type)
@@ -267,20 +281,21 @@ class Evaluator:
 
     # ------------------------------------------------------------------
     def _visualize(self, dataset_name: str, bi: int, batch: dict,
-                   vis: dict) -> None:
+                   vis: dict, scale_factor: int = 2) -> None:
         """Render the first image of a visualization batch (ref evaluator
         pyc 240-269: grids every 250 batches; the non-bc einsum argmax
         composition is handled by ``Visualizer.eval_grid``)."""
-        masks_u8 = np.asarray(jax.device_get(vis["masks_u8"][0]))  # [Q,2G,2G]
+        masks_u8 = np.asarray(jax.device_get(vis["masks_u8"][0]))  # [Q,sG,sG]
         obj = vis.get("objectness")
         obj = None if obj is None else np.asarray(jax.device_get(obj[0]))
         h, w = (int(v) for v in batch["hw"][0])
         gh, gw = (int(v) for v in batch["grid_sizes"][0])
         # crop the canvas to this image's valid region; masks live at the
-        # pre-upsample resolution (2 * grid)
+        # pre-upsample resolution (scale_factor * grid)
         image = batch["image"][0][:h, :w]
         gt = batch["gt"][0][:h, :w]
-        preds = masks_u8[:, :2 * gh, :2 * gw].astype(np.float32) / 255.0
+        s = scale_factor
+        preds = masks_u8[:, :s * gh, :s * gw].astype(np.float32) / 255.0
         self.visualizer.eval_grid(
             image, gt, preds, obj,
             os.path.join(dataset_name, f"{bi:05d}.png"))
@@ -291,15 +306,19 @@ class Evaluator:
                  batch_size: Optional[int] = None, device=None,
                  cost_type: str = "iou") -> Dict[str, float]:
         """``scale_factor`` and ``device`` mirror the reference
-        evaluator's call surface: the mask upsample is fixed at the
-        reference's only shipped value (scale_factor=2, the x4 grid —
-        evaluator pyc 209-211), so any other request fails loudly
-        instead of being silently ignored; ``device`` placement is mesh
-        instance state here."""
-        if scale_factor != 2:
-            raise NotImplementedError(
-                "the canvas pipeline implements the reference's "
-                "scale_factor=2 (x4 mask upsample) only")
+        evaluator's call surface (evaluator pyc 164): the model's pixel
+        decoder upsamples patch tokens by ``scale_factor`` (a plain
+        bilinear resize — no weights change) and the metric pipeline
+        returns the masks to canvas resolution with the complementary
+        ``patch_size // scale_factor`` factor (x4 at the shipped
+        scale_factor=2, matching pyc 209-211 exactly).  Any factor
+        dividing the patch size works ({1, 2, 4, 8} at p=8); ``device``
+        placement is mesh instance state here."""
+        p_ = self.mcfg.vit.patch_size
+        if scale_factor < 1 or p_ % scale_factor != 0:
+            raise ValueError(
+                f"scale_factor must divide the patch size ({p_}); "
+                f"got {scale_factor}")
         cfg = self.cfg
         batch_size = batch_size or self.batch_size
         self._check_batch(batch_size)
@@ -319,7 +338,7 @@ class Evaluator:
                                             img_size or cfg.eval_image_size)
         pad = lambda v: -(-v // p) * p
         canvas_h, canvas_w = pad(max_h), pad(max_w)
-        step = self._eval_fn((canvas_h, canvas_w), cost_type)
+        step = self._eval_fn((canvas_h, canvas_w), cost_type, scale_factor)
         dataset.return_raw = True
 
         def collate_canvas(samples):
@@ -356,7 +375,7 @@ class Evaluator:
                 arrays = tuple(jnp.asarray(a) for a in arrays)
             out, vis = step(self.params, *arrays)
             if self.visualizer is not None and bi % self.vis_every == 0:
-                self._visualize(dataset_name, bi, batch, vis)
+                self._visualize(dataset_name, bi, batch, vis, scale_factor)
             # defer the (tiny per-image scalar) metric fetch to the end:
             # a per-batch device_get blocks the host on every step and
             # serializes dispatch through the tunnel — the same fix as
