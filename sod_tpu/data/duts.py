@@ -99,8 +99,13 @@ class DUTSDataset(BaseDataset):
             # base_dataset.py:94-102, so this is closer to its pipeline
             # than the float chain) and normalize ON DEVICE — 4x less
             # host->device traffic and one less host pass per sample
-            out["image_u8"] = np.clip(np.round(np.asarray(arr, np.float32)),
-                                      0, 255).astype(np.uint8)
+            arr32 = np.ascontiguousarray(np.asarray(arr, np.float32))
+            from sod_tpu import native
+
+            u8 = native.quantize_u8(arr32)     # one fused pass
+            out["image_u8"] = (u8 if u8 is not None else
+                               np.clip(np.round(arr32), 0,
+                                       255).astype(np.uint8))
         else:
             out["image"] = normalize(arr)
         return out

@@ -49,7 +49,11 @@ def collate_train(samples: List[dict], max_gt_masks: int,
     h, w = samples[0][key].shape[:2]
 
     images = np.zeros((batch_size, h, w, 3), np.uint8 if u8 else np.float32)
-    gt = np.zeros((batch_size, max_gt_masks, h, w), np.float32)
+    # u8 mode ships the (binary) masks as uint8 too — the train step's
+    # astype(float32) runs on DEVICE, so the host skips a 4x-sized cast
+    # and the transfer shrinks 4x (same trick as the image normalize)
+    gt = np.zeros((batch_size, max_gt_masks, h, w),
+                  np.uint8 if u8 else np.float32)
     valid = np.zeros((batch_size, max_gt_masks), bool)
     labels = np.zeros((batch_size,), np.int32)
     filenames: List[str] = []
@@ -62,7 +66,7 @@ def collate_train(samples: List[dict], max_gt_masks: int,
         masks = masks[keep][:max_gt_masks]
         m = masks.shape[0]
         if m > 0:
-            gt[i, :m] = masks.astype(np.float32)
+            gt[i, :m] = masks if u8 else masks.astype(np.float32)
             valid[i, :m] = True
         labels[i] = stable_label(s["filename"])
         filenames.append(s["filename"])

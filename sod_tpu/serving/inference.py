@@ -47,7 +47,28 @@ def jet_colormap(x: np.ndarray) -> np.ndarray:
 _JET_LUT = jet_colormap(np.arange(256, dtype=np.float32)[None] / 255.0)[0]
 
 
-def _b64_png(img: Image.Image) -> str:
+import os as _os
+
+# PNG strategy for the /predict payloads — encode dominates the host
+# budget (3 PNGs per request; docs/PERFORMANCE.md).  "fast" (default)
+# uses the native fixed-Huffman encoder: ~6x faster per core, losslessly
+# identical pixels, payloads ~1.2-1.8x larger than zlib level 1 on photo
+# content (flat masks compress fine either way).  "pil" reverts to
+# zlib-level-1 PIL encoding for bandwidth-sensitive deployments.
+_PNG_MODE = _os.environ.get("SOD_PNG_MODE", "fast")
+
+
+def _b64_png(img: Union[Image.Image, np.ndarray]) -> str:
+    if _PNG_MODE == "fast":
+        from sod_tpu import native
+
+        arr = img if isinstance(img, np.ndarray) else np.asarray(img)
+        if arr.dtype == np.uint8 and (arr.ndim == 2 or arr.shape[-1] == 3):
+            png = native.png_encode(arr)
+            if png is not None:
+                return base64.b64encode(png).decode("ascii")
+    if isinstance(img, np.ndarray):
+        img = Image.fromarray(img)
     buf = io.BytesIO()
     # low compression: PNG encode dominates end-to-end predict latency
     img.save(buf, format="PNG", compress_level=1)
@@ -263,30 +284,40 @@ class PredictPipeline:
             image = Image.open(image)
         image = image.convert("RGB")
         orig_w, orig_h = image.size
+        img_arr = np.asarray(image, np.uint8)
+
+        from sod_tpu import native
 
         size = self.cfg.eval_image_size
         # ship resized uint8; ImageNet normalization runs on device
-        # (same math as augment.normalize, ref app.py:198-205)
-        arr = np.asarray(resize_pil(image, (size, size), "bilinear"),
-                         np.uint8)
+        # (same math as augment.normalize, ref app.py:198-205).  The
+        # native resampler is bit-identical to PIL (test-locked).
+        arr = native.resize_u8(img_arr, (size, size), "bilinear")
+        if arr is None:
+            arr = np.asarray(resize_pil(image, (size, size), "bilinear"),
+                             np.uint8)
         mask_small, obj = self.model_step(arr)
 
         # LANCZOS upsample to original size (ref app.py:286-296)
-        mask_img = Image.fromarray(mask_small)
-        mask_full = mask_img.resize((orig_w, orig_h), Image.LANCZOS)
-        mask_u8 = np.asarray(mask_full)
+        mask_u8 = native.resize_u8(mask_small, (orig_h, orig_w), "lanczos")
+        if mask_u8 is None:
+            mask_u8 = np.asarray(Image.fromarray(mask_small).resize(
+                (orig_w, orig_h), Image.LANCZOS))
 
         # LUT colormap + integer blend: bit-identical to
         # jet_colormap(mask/255) and (0.5*img + 0.5*heat).astype(uint8)
         # (float truncation of k/2 == (a+b) >> 1 for integer a, b) at a
-        # fraction of the host cost
-        heat = _JET_LUT[mask_u8]
-        blended = ((np.asarray(image, np.uint16) + heat) >> 1).astype(np.uint8)
+        # fraction of the host cost; one fused native pass when built
+        blended = native.jet_blend(img_arr, mask_u8, _JET_LUT)
+        if blended is None:
+            heat = _JET_LUT[mask_u8]
+            blended = ((img_arr.astype(np.uint16) + heat) >> 1
+                       ).astype(np.uint8)
 
         out = {
-            "original": _b64_png(image),
-            "mask": _b64_png(mask_full.convert("L")),
-            "heatmap": _b64_png(Image.fromarray(blended)),
+            "original": _b64_png(img_arr),
+            "mask": _b64_png(mask_u8),
+            "heatmap": _b64_png(blended),
             "objectness_scores": [float(o) for o in obj],
         }
         if refine:
