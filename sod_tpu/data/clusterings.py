@@ -9,19 +9,21 @@ Voting": normalized-cut spectral clustering over patch-feature affinities):
 
 * affinity = thresholded cosine similarity of L2-normalized features;
 * normalized Laplacian ``L_sym = I - D^-1/2 A D^-1/2``;
-* the k smallest eigenvectors via dense ``jnp.linalg.eigh`` — N is
-  ~784 patch nodes for the ViT path and up to 56x56 = 3136 for the
-  mocov2/swav res5 path (dense eigh is still the right call on TPU: one
-  [N, N] f32 affinity is <=40 MB and the O(N^3) solve batches under
-  vmap); at N <= ~800
-  patch nodes a dense eigensolve is tiny on the MXU (SURVEY §2 native
-  table), no sparse/faiss machinery needed;
+* the k smallest eigenvectors of ``L_sym`` — orthogonal subspace
+  iteration (pure MXU matmuls) for the real pipeline node counts
+  (784 ViT patch nodes, 3136 mocov2/swav res5 nodes), dense
+  ``jnp.linalg.eigh`` below ``_EIGH_MAX_N``.  The eigh path is the
+  scipy-validated oracle; the subspace path is label-equivalent on
+  realistic affinities (measured on chip at N=784: partition agreement
+  1.0000/0.9975/0.9957 for k=2/3/4 pre-vote, 41.5x faster —
+  ``SOD_SPECTRAL_EIGH_MAX_N=1024`` reverts dino to dense eigh);
 * row-normalized spectral embedding clustered by seeded k-means++ /
   Lloyd iterations (``lax.while/fori`` loops, fully jit-able and
   vmappable over a batch of images).
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -73,10 +75,14 @@ def kmeans(x: jax.Array, k: int, seed: int = 0,
 
 
 #: full dense eigh below this node count; orthogonal-subspace iteration
-#: above it (an O(N^3) eigh of the 3136-node dilated-ResNet grid is not
-#: MXU work — iterating [N, N] x [N, m] matmuls is, and only the k
-#: smallest eigenvectors are needed)
-_EIGH_MAX_N = 1024
+#: above it (an O(N^3) eigh is not MXU work — iterating [N, N] x [N, m]
+#: matmuls is, and only the k smallest eigenvectors are needed).  512
+#: puts BOTH real pipeline grids (dino 784, res5 3136) on the subspace
+#: path: measured on chip the dino clustering program drops 426.8 ->
+#: 10.3 ms/batch16 (41.5x) with partition agreement >= 0.9957 per k and
+#: voted-pseudo-mask agreement measured end-to-end (docs/PERFORMANCE.md,
+#: round 5).  Env-overridable for the scipy-exact dense path.
+_EIGH_MAX_N = int(os.environ.get("SOD_SPECTRAL_EIGH_MAX_N", "512"))
 
 
 def _build_lsym(features: jax.Array) -> jax.Array:
