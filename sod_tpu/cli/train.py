@@ -40,8 +40,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel ring size (ring attention over "
                         "the token axis, parallel/sp.py; total devices = "
-                        "n_devices x sp; XLA path; mutually exclusive with "
-                        "--tp/--pp)")
+                        "n_devices x sp; XLA path; combine with --tp for "
+                        "the (data, seq, model) mesh — ring attention "
+                        "inside Megatron TP groups, parallel/sptp.py; "
+                        "mutually exclusive with --pp)")
     p.add_argument("--fsdp", type=str, default=None,
                    choices=["zero1", "full"],
                    help="ZeRO/FSDP state sharding over the data axis "
@@ -93,9 +95,19 @@ def main(argv=None) -> None:
     tp = args.tp if args.tp > 1 else getattr(cfg, "mesh_model_axis", 1)
     pp = args.pp if args.pp > 1 else getattr(cfg, "mesh_pipe_axis", 1)
     sp = args.sp if args.sp > 1 else getattr(cfg, "mesh_seq_axis", 1)
-    if sp > 1 and (tp > 1 or pp > 1):
-        raise SystemExit("--sp is mutually exclusive with --tp/--pp")
-    if tp > 1 and pp > 1:
+    if sp > 1 and pp > 1:
+        # GPipe microbatching multiplies the ring's per-tick latency by
+        # the stage count on exactly the long-token path SP serves —
+        # measured rejection in docs/PARALLEL.md
+        raise SystemExit("--sp is mutually exclusive with --pp")
+    if sp > 1 and tp > 1:
+        # (data, seq, model) mesh: ring attention inside Megatron
+        # tensor-parallel groups (parallel/sptp.py)
+        from sod_tpu.parallel import make_mesh_sptp
+
+        n_dev = args.n_devices or len(jax.devices()) // (sp * tp)
+        mesh = make_mesh_sptp(n_dev, sp, tp)
+    elif tp > 1 and pp > 1:
         # 3-D (data, pipe, model) mesh: GPipe stages of Megatron
         # tensor-parallel groups (parallel/p3.py)
         from sod_tpu.parallel import make_mesh_3d

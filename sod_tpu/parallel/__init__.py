@@ -31,6 +31,15 @@ from sod_tpu.parallel.pp import (  # noqa: F401
     pp_vit_apply,
     shard_params_pp,
 )
+from sod_tpu.parallel.sptp import (  # noqa: F401
+    assert_sptp_compatible,
+    make_mesh_sptp,
+    make_sptp_apply,
+    shard_params_sptp,
+    sptp_block_specs,
+    sptp_param_shardings,
+    sptp_vit_apply,
+)
 from sod_tpu.parallel.sp import (  # noqa: F401
     assert_sp_compatible,
     make_mesh_sp,

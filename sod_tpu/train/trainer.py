@@ -89,6 +89,15 @@ class Trainer:
             self.mesh = make_mesh_3d(
                 cfg.mesh_data_axis if cfg.mesh_data_axis > 1 else None,
                 cfg.mesh_pipe_axis, cfg.mesh_model_axis)
+        elif (getattr(cfg, "mesh_model_axis", 1) > 1
+                and getattr(cfg, "mesh_seq_axis", 1) > 1):
+            # seq + model -> the (data, seq, model) mesh: ring attention
+            # inside Megatron tensor-parallel groups (parallel/sptp.py)
+            from sod_tpu.parallel import make_mesh_sptp
+
+            self.mesh = make_mesh_sptp(
+                cfg.mesh_data_axis if cfg.mesh_data_axis > 1 else None,
+                cfg.mesh_seq_axis, cfg.mesh_model_axis)
         elif getattr(cfg, "mesh_model_axis", 1) > 1:
             from sod_tpu.parallel import make_mesh_2d
 
@@ -133,7 +142,19 @@ class Trainer:
                                  self.mesh.shape["pipe"])
             apply_fn = make_pp_apply(self.mesh, n_micro)
         # seq meshes run the encoder token-sharded with ring attention
-        # (parallel/sp.py) — same wholesale forward swap as pipe
+        # (parallel/sp.py) — same wholesale forward swap as pipe; with a
+        # model axis too, the ring runs inside Megatron TP groups
+        # (parallel/sptp.py)
+        elif (self.mesh is not None and "seq" in self.mesh.axis_names
+                and self.mesh.shape["seq"] > 1
+                and self.mesh.shape.get("model", 1) > 1):
+            from sod_tpu.parallel import (
+                assert_sptp_compatible,
+                make_sptp_apply,
+            )
+
+            assert_sptp_compatible(cfg, self.mesh, self.mcfg.vit)
+            apply_fn = make_sptp_apply(self.mesh)
         elif (self.mesh is not None and "seq" in self.mesh.axis_names
                 and self.mesh.shape["seq"] > 1):
             from sod_tpu.parallel import assert_sp_compatible, make_sp_apply
@@ -212,6 +233,14 @@ class Trainer:
             from sod_tpu.parallel import shard_params_pp
 
             return shard_params_pp(params, self.mesh, self.mcfg.vit.depth)
+        if ("seq" in self.mesh.axis_names and self.mesh.shape["seq"] > 1
+                and self.mesh.shape.get("model", 1) > 1):
+            # (data, seq, model): blocks go to the TP-split layout,
+            # sharded over model (Megatron features); seq shards
+            # activations only (parallel/sptp.py)
+            from sod_tpu.parallel import shard_params_sptp
+
+            return shard_params_sptp(params, self.mesh)
         if fsdp == "full":
             from sod_tpu.parallel import shard_params_fsdp
 
@@ -235,7 +264,10 @@ class Trainer:
         the optimizer-leaf guard instead of silently mis-restoring."""
         if (self.mesh is not None
                 and self.mesh.shape.get("model", 1) > 1
-                and self.mesh.shape.get("pipe", 1) > 1):
+                and (self.mesh.shape.get("pipe", 1) > 1
+                     or self.mesh.shape.get("seq", 1) > 1)):
+            # both the (data, pipe, model) and (data, seq, model) meshes
+            # store the TP-split layout; the merge is layout-keyed
             from sod_tpu.parallel import p3_host_params
 
             return p3_host_params(self.params)
