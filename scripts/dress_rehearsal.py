@@ -51,7 +51,10 @@ N_BENCH = int(os.environ.get("DRESS_N_BENCH", 16))
 EPOCHS = int(os.environ.get("DRESS_EPOCHS", 12))
                        # the recipe (configs yaml:51-56; trainer pyc 231)
 KILL_EPOCH = int(os.environ.get("DRESS_KILL_EPOCH", 6))
-LR = 2e-5              # documented deviation, see module docstring
+LR = float(os.environ.get("DRESS_LR", 2e-5))
+                       # documented deviation, see module docstring; the
+                       # reference-scale run (scripts/scale_rehearsal.py)
+                       # overrides back to the reference's 6e-6
 SMOKE = os.environ.get("DRESS_SMOKE") == "1"   # CPU smoke: tiny model,
                                                # doc goes to the corpus dir
 
