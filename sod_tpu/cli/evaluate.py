@@ -41,7 +41,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel ring size (ring attention over "
                         "the canvas token axis, parallel/sp.py; XLA path; "
-                        "mutually exclusive with --tp)")
+                        "combine with --tp for the (data, seq, model) "
+                        "mesh — ring attention inside Megatron TP groups, "
+                        "parallel/sptp.py)")
     return p
 
 
@@ -80,8 +82,11 @@ def main(argv=None) -> None:
 
     mesh = None
     if args.tp > 1 and args.sp > 1:
-        raise SystemExit("--tp and --sp are mutually exclusive")
-    if args.tp > 1:
+        # (data, seq, model): ring attention inside Megatron TP groups
+        from sod_tpu.parallel import make_mesh_sptp
+
+        mesh = make_mesh_sptp(args.n_devices, args.sp, args.tp)
+    elif args.tp > 1:
         from sod_tpu.parallel import make_mesh_2d
 
         mesh = make_mesh_2d(args.n_devices, args.tp)

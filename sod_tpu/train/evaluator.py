@@ -110,11 +110,22 @@ class Evaluator:
             from sod_tpu.parallel import (assert_sp_compatible,
                                           assert_tp_compatible, shard_params)
 
-            assert_tp_compatible(cfg, mesh)
-            assert_sp_compatible(cfg, mesh)
-            # TP meshes shard the weights (parallel/tp.py rules); seq and
-            # 1-D data meshes replicate them, as before
-            self.params = shard_params(self.params, mesh)
+            if (mesh.shape.get("seq", 1) > 1
+                    and mesh.shape.get("model", 1) > 1):
+                # (data, seq, model): ring attention inside Megatron TP
+                # groups (parallel/sptp.py) — encoder blocks go to the
+                # TP-split layout, sharded over model
+                from sod_tpu.parallel import (assert_sptp_compatible,
+                                              shard_params_sptp)
+
+                assert_sptp_compatible(cfg, mesh, self.mcfg.vit)
+                self.params = shard_params_sptp(self.params, mesh)
+            else:
+                assert_tp_compatible(cfg, mesh)
+                assert_sp_compatible(cfg, mesh)
+                # TP meshes shard the weights (parallel/tp.py rules); seq
+                # and 1-D data meshes replicate them, as before
+                self.params = shard_params(self.params, mesh)
             # every supported mesh has a "data" axis (batch_sharding
             # hardcodes P("data")); index, don't fall back
             self._n_data = mesh.shape["data"]
@@ -238,11 +249,18 @@ class Evaluator:
             encoder_apply = None
             if (self.mesh is not None and "seq" in self.mesh.axis_names
                     and self.mesh.shape["seq"] > 1):
-                from sod_tpu.parallel import sp_vit_apply
+                if self.mesh.shape.get("model", 1) > 1:
+                    from sod_tpu.parallel import sptp_vit_apply
 
-                encoder_apply = lambda p_, x_, tm, pe: sp_vit_apply(  # noqa: E731
-                    p_, x_, mcfg.vit, self.mesh, all_layers=False,
-                    token_mask=tm, pos_embed_override=pe)
+                    encoder_apply = lambda p_, x_, tm, pe: sptp_vit_apply(  # noqa: E731
+                        p_, x_, mcfg.vit, self.mesh, all_layers=False,
+                        token_mask=tm, pos_embed_override=pe)
+                else:
+                    from sod_tpu.parallel import sp_vit_apply
+
+                    encoder_apply = lambda p_, x_, tm, pe: sp_vit_apply(  # noqa: E731
+                        p_, x_, mcfg.vit, self.mesh, all_layers=False,
+                        token_mask=tm, pos_embed_override=pe)
             out = maskformer_apply_canvas(
                 params, image.astype(compute_dtype), mcfg,
                 token_mask=token_mask, pos_embed_override=pos_embed,

@@ -265,6 +265,31 @@ def test_sptp_validation_errors(rng):
         sptp_vit_apply(params, x, bad, mesh)
 
 
+def test_sptp_evaluator_matches_single_device(tmp_path, rng):
+    """The REAL Evaluator canvas path with the encoder token-sharded AND
+    tensor-parallel over a (data, seq, model) mesh equals the
+    single-device Evaluator on a real on-disk dataset."""
+    from tests._fixtures import make_duts
+
+    from sod_tpu.train.evaluator import Evaluator
+
+    make_duts(tmp_path, rng, n_test=8, test_hw=(48, 56))
+    cfg = Config(dir_dataset=str(tmp_path), compute_dtype="float32",
+                 use_pallas_attention=False, num_workers=2)
+    mcfg = MaskFormerConfig(
+        n_queries=4, n_decoder_layers=2,
+        vit=ViTConfig(patch_size=8, embed_dim=32, depth=2, n_heads=4,
+                      pos_grid=8))
+    params = maskformer_init(jax.random.key(1), mcfg)
+
+    single = Evaluator(params, cfg, mcfg, batch_size=8)("duts")
+    mesh = make_mesh_sptp(2, 2, 2)
+    multi = Evaluator(params, cfg, mcfg, batch_size=8, mesh=mesh)("duts")
+    for k in single:
+        np.testing.assert_allclose(single[k], multi[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
+
+
 def test_sptp_trainer_end_to_end(tmp_path, rng):
     """A real Trainer epoch on the 2x2x2 (data, seq, model) mesh built
     from Config.mesh_data/seq/model_axis (the product path) equals the
