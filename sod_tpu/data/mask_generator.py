@@ -43,13 +43,21 @@ from sod_tpu.utils.misc import filter_masks
 
 def vote_mask(candidates: np.ndarray) -> int:
     """Index of the candidate agreeing most with the others (pairwise-IoU
-    voting, ref mask_generator pyc ``vote_mask``)."""
+    voting, ref mask_generator pyc ``vote_mask``).
+
+    The pairwise counts come from ONE BLAS gram matmul on the 0/1 masks
+    (``inter = F F^T``, ``union = area_i + area_j - inter``) instead of
+    materializing the [n, n, P] broadcast — bit-identical (counts are
+    integers < 2^24, exact in f32) and ~40x faster at the pipeline's 27
+    candidates x 224^2 pixels (184 -> ~4 ms/img host, the maskgen
+    end-to-end bound — docs/PERFORMANCE.md round 5)."""
     n = len(candidates)
     if n == 1:
         return 0
-    flat = candidates.reshape(n, -1).astype(bool)
-    inter = (flat[:, None] & flat[None, :]).sum(-1)
-    union = (flat[:, None] | flat[None, :]).sum(-1)
+    flat = (candidates.reshape(n, -1) != 0).astype(np.float32)
+    inter = flat @ flat.T                          # [n, n] exact counts
+    area = inter.diagonal()                        # |A_i|
+    union = area[:, None] + area[None, :] - inter
     iou = inter / np.maximum(union, 1)
     np.fill_diagonal(iou, 0.0)
     return int(np.argmax(iou.sum(-1)))

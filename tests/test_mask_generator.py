@@ -46,6 +46,37 @@ def test_vote_mask_picks_consensus():
     assert vote_mask(a) == int(np.argmax(iou.sum(-1)))
 
 
+def test_vote_and_bbox_match_naive_oracles():
+    """The gram-matmul vote and the any-reduction bbox (round-5 host
+    fast paths) equal the naive broadcast/np.where formulations on
+    randomized pipeline-shaped stacks, including empty masks."""
+    r = np.random.RandomState(7)
+    for trial in range(6):
+        cands = []
+        for g in (14, 28):
+            for k in (2, 3, 4):
+                lab = r.randint(0, k, (g, g))
+                up = np.repeat(np.repeat(lab, 224 // g, 0), 224 // g, 1)
+                cands.extend((up == c).astype(np.uint8) for c in range(k))
+        cands.append(np.zeros((224, 224), np.uint8))     # empty mask
+        st = np.stack(cands, 0)
+
+        flat = st.reshape(len(st), -1).astype(bool)
+        inter = (flat[:, None] & flat[None, :]).sum(-1)
+        union = (flat[:, None] | flat[None, :]).sum(-1)
+        iou = inter / np.maximum(union, 1)
+        np.fill_diagonal(iou, 0.0)
+        assert vote_mask(st) == int(np.argmax(iou.sum(-1)))
+
+        expect = {}
+        for i, m in enumerate(st):
+            ys, xs = np.where(m)
+            if len(ys):
+                expect[i] = (int(ys.min()), int(ys.max()),
+                             int(xs.min()), int(xs.max()))
+        assert mask_to_bbox(st) == expect
+
+
 def test_filter_masks_drops_edge_spanning():
     m = np.zeros((3, 10, 10), np.uint8)
     m[0, :, 4:6] = 1            # spans full height -> dropped
