@@ -265,6 +265,43 @@ def test_sptp_validation_errors(rng):
         sptp_vit_apply(params, x, bad, mesh)
 
 
+def test_sptp_trainer_resume_relayout(tmp_path, rng):
+    """latest_model under the (data, seq, model) mesh stores the split
+    layout verbatim; a fresh Trainer with the same config resumes onto
+    the same model-sharded layout and continues identically."""
+    from tests._fixtures import make_duts
+
+    from sod_tpu.train.trainer import Trainer
+
+    make_duts(tmp_path, rng, n_test=0, n_train=4, train_hw=(64, 64))
+
+    def make_cfg():
+        return Config(dir_dataset=str(tmp_path),
+                      pseudo_masks_fp=str(tmp_path / "pseudo.json"),
+                      train_image_size=64, batch_size=4,
+                      compute_dtype="float32", use_pallas_attention=False,
+                      max_gt_masks=2, num_workers=0, suffix="sptpr",
+                      dir_ckpt=str(tmp_path / "ckpt"), n_epochs=2,
+                      mesh_data_axis=2, mesh_seq_axis=2, mesh_model_axis=2)
+
+    mcfg = MaskFormerConfig(n_queries=4, n_decoder_layers=2, vit=_vit_cfg())
+    params = maskformer_init(jax.random.key(0), mcfg)
+
+    t1 = Trainer(make_cfg(), mcfg=mcfg, params=params)
+    t1._train_epoch(1)
+    t1._train_epoch(2)
+
+    t2 = Trainer(make_cfg(), mcfg=mcfg, params=params)
+    t2._train_epoch(1)
+    t3 = Trainer(make_cfg(), mcfg=mcfg, params=params)
+    assert t3.resume() == 2
+    qw = t3.params["encoder"]["blocks"]["attn"]["q"]["w"]
+    assert qw.sharding.shard_shape(qw.shape) == (DEPTH, 32, 16)
+    t3._train_epoch(2)
+
+    _assert_trees_close(p3_host_params(t1.params), p3_host_params(t3.params))
+
+
 def test_sptp_evaluator_matches_single_device(tmp_path, rng):
     """The REAL Evaluator canvas path with the encoder token-sharded AND
     tensor-parallel over a (data, seq, model) mesh equals the
