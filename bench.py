@@ -370,7 +370,10 @@ _SUBPROCESS_METRICS = {
     # flag -> (measure fn, timeout seconds incl. cold-cache compile)
     "--infer-only": (measure_tpu_ips, 900),
     "--int8-only": (lambda: measure_tpu_ips(int8=True), 900),
-    "--train-only": (measure_train_ips, 900),
+    "--train-only": (measure_train_ips, 1800),   # cold-cache compile of
+                                                 # the fused-train program
+                                                 # can exceed 15 min
+                                                 # through the tunnel
     "--canvas-only": (measure_canvas_ips, 1500),
     "--maskgen-only": (measure_maskgen_ips, 1500),
 }
