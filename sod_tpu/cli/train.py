@@ -56,6 +56,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume from this experiment's latest_model "
                         "checkpoint (capability the reference lacks)")
+    p.add_argument("--async-checkpoint", action="store_true",
+                   help="overlap the per-epoch latest_model write with "
+                        "the next epoch (train/checkpoints.AsyncSaver; "
+                        "durability weakens by at most one epoch, resume "
+                        "contract unchanged)")
     return p
 
 
@@ -71,6 +76,8 @@ def main(argv=None) -> None:
         overrides["suffix"] = args.suffix
     if args.fsdp is not None:
         overrides["fsdp"] = args.fsdp
+    if args.async_checkpoint:
+        overrides["async_checkpoint"] = True
     cfg = load_config(args.config, overrides)
     set_seeds(cfg.seed)
 
@@ -138,6 +145,8 @@ def main(argv=None) -> None:
     for epoch in range(start_epoch, cfg.n_epochs + 1):
         trainer._train_epoch(epoch)
         trainer._evaluate(epoch)
+    trainer.wait_for_checkpoints()   # async mode: last write is durable
+                                     # before the CLI reports completion
 
 
 if __name__ == "__main__":

@@ -108,9 +108,18 @@ class Config:
                                       # Megatron TP groups, parallel/p3.py)
     mesh_seq_axis: int = 1            # sequence-parallel ring size (ring
                                       # attention over the token axis,
-                                      # parallel/sp.py; XLA path; mutually
-                                      # exclusive with mesh_model_axis /
-                                      # mesh_pipe_axis > 1)
+                                      # parallel/sp.py; XLA path; composes
+                                      # with mesh_model_axis > 1 via
+                                      # parallel/sptp.py; mutually
+                                      # exclusive with mesh_pipe_axis > 1)
+    async_checkpoint: bool = False    # overlap the per-epoch latest_model
+                                      # write (device_get + orbax) with
+                                      # the next epoch on a writer thread
+                                      # (train/checkpoints.AsyncSaver);
+                                      # durability weakens by at most one
+                                      # epoch (orbax tmp+rename stays
+                                      # kill-atomic), resume contract
+                                      # unchanged
     fsdp: str = "none"                # ZeRO/FSDP state sharding over the
                                       # data axis (parallel/fsdp.py):
                                       # "zero1" shards the fp32 AdamW

@@ -51,6 +51,47 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None,
         multihost_utils.sync_global_devices("sod_tpu_ckpt_save")
 
 
+class AsyncSaver:
+    """Overlapped checkpoint writes (``Config.async_checkpoint``).
+
+    ``save()`` snapshots by REFERENCE — jax arrays are immutable and the
+    train step does not donate its inputs, so the passed pytrees stay
+    valid bit-exact snapshots while the next epoch rebinds
+    ``self.params`` — and runs the full ``save_checkpoint`` (device_get
+    + orbax write, the per-epoch cost on a slow-link host) on a writer
+    thread.  One save in flight at a time: a new ``save`` joins the
+    previous one first (ordering; also caps the extra host RAM at one
+    fetched state).  The thread is NON-daemon, so normal interpreter
+    exit waits for the last write; a SIGKILL cannot corrupt anything
+    because orbax finalizes via tmp-dir + atomic rename — the previous
+    checkpoint survives, which WEAKENS durability by at most one epoch
+    vs the synchronous default (the resume contract is unchanged:
+    restore sees the last COMPLETED write).  Multi-host: every process
+    calls ``save`` (process 0 writes, the others only barrier), so the
+    in-thread ``sync_global_devices`` pairs up across processes exactly
+    as the synchronous path does.
+    """
+
+    def __init__(self):
+        self._thread = None
+
+    def save(self, path: str, params: Any, opt_state: Any = None,
+             **kw) -> None:
+        import threading
+
+        self.wait()
+        self._thread = threading.Thread(
+            target=save_checkpoint, args=(path, params, opt_state),
+            kwargs=kw, daemon=False, name="ckpt-writer")
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) is durable."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
 def restore_checkpoint(path: str, template: Optional[Any] = None) -> Dict:
     """Restore a checkpoint saved by ``save_checkpoint``.
 

@@ -201,6 +201,12 @@ class Trainer:
             out_shardings=self._step_out_shardings())
 
         self.evaluator = evaluator
+        if getattr(cfg, "async_checkpoint", False):
+            from sod_tpu.train.checkpoints import AsyncSaver
+
+            self._ckpt_saver = AsyncSaver()
+        else:
+            self._ckpt_saver = None
         self.logger = MetricLogger(self.dir_ckpt, name=self.experim_name)
         self.n_iters_done = 0
         self.best_scores: Dict[str, float] = {}
@@ -307,6 +313,8 @@ class Trainer:
         gap.)"""
         from sod_tpu.train.checkpoints import restore_checkpoint
 
+        if self._ckpt_saver is not None:
+            self._ckpt_saver.wait()     # restore must see a durable write
         path = path or os.path.join(self.dir_ckpt, "latest_model")
         state = restore_checkpoint(path)
         self.params = jax.tree.map(jax.numpy.asarray, state["params"])
@@ -364,6 +372,13 @@ class Trainer:
                 self.tx, self.params, opt_state=self.opt_state,
                 shardings=self._opt_shardings)
         return int(state.get("epoch", 0)) + 1
+
+    # ------------------------------------------------------------------
+    def wait_for_checkpoints(self) -> None:
+        """Block until any in-flight async checkpoint write is durable
+        (no-op under the default synchronous saves)."""
+        if self._ckpt_saver is not None:
+            self._ckpt_saver.wait()
 
     # ------------------------------------------------------------------
     def _train_epoch(self, num_epoch: int) -> Dict[str, float]:
@@ -440,10 +455,21 @@ class Trainer:
             cfg.batch_size)
         self.logger.log(epoch_metrics, step=self.n_iters_done)
 
-        save_checkpoint(os.path.join(self.dir_ckpt, "latest_model"),
-                        self.params, self.opt_state, epoch=num_epoch,
-                        n_iters=self.n_iters_done,
-                        extra={"best_scores": dict(self.best_scores)})
+        if self._ckpt_saver is not None:
+            # overlapped write (Config.async_checkpoint): jax arrays are
+            # immutable and the step does not donate, so passing the
+            # current trees IS a consistent snapshot while the next
+            # epoch rebinds self.params (train/checkpoints.AsyncSaver)
+            self._ckpt_saver.save(
+                os.path.join(self.dir_ckpt, "latest_model"),
+                self.params, self.opt_state, epoch=num_epoch,
+                n_iters=self.n_iters_done,
+                extra={"best_scores": dict(self.best_scores)})
+        else:
+            save_checkpoint(os.path.join(self.dir_ckpt, "latest_model"),
+                            self.params, self.opt_state, epoch=num_epoch,
+                            n_iters=self.n_iters_done,
+                            extra={"best_scores": dict(self.best_scores)})
         return epoch_metrics
 
     # ------------------------------------------------------------------

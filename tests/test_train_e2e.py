@@ -105,6 +105,44 @@ def test_checkpoint_restore_roundtrip(workspace):
     assert "opt_state" in restored
 
 
+def test_async_checkpoint_equals_sync_and_resumes(workspace):
+    """Config.async_checkpoint overlaps the latest_model write with the
+    next epoch on a writer thread: two async epochs leave bit-equal
+    params AND a bit-equal durable checkpoint vs the synchronous
+    default; a fresh async Trainer resumes from it and continues."""
+    params0 = maskformer_init(jax.random.key(3), tiny_setup(workspace)[1])
+
+    cfg_s, mcfg = tiny_setup(workspace, suffix="sync2")
+    t_sync = Trainer(cfg_s, mcfg=mcfg, params=params0)
+    t_sync._train_epoch(1)
+    t_sync._train_epoch(2)
+
+    cfg_a, _ = tiny_setup(workspace, suffix="async2",
+                          async_checkpoint=True)
+    t_async = Trainer(cfg_a, mcfg=mcfg, params=params0)
+    t_async._train_epoch(1)
+    t_async._train_epoch(2)          # epoch-1 write still in flight here
+    t_async.wait_for_checkpoints()
+
+    for a, b in zip(jax.tree.leaves(t_sync.params),
+                    jax.tree.leaves(t_async.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    saved = restore_checkpoint(
+        os.path.join(t_async.dir_ckpt, "latest_model"))
+    assert saved["epoch"] == 2
+    for a, b in zip(jax.tree.leaves(t_async.params),
+                    jax.tree.leaves(saved["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    t_resume = Trainer(tiny_setup(workspace, suffix="async2",
+                                  async_checkpoint=True)[0],
+                       mcfg=mcfg, params=params0)
+    assert t_resume.resume() == 3
+    for a, b in zip(jax.tree.leaves(t_async.params),
+                    jax.tree.leaves(t_resume.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_best_scores_sidecar_survives_kill_window(workspace):
     """The latest_model checkpoint is written BEFORE the epoch's eval, so
     its best_scores trail by one eval; _evaluate writes a post-eval
